@@ -1,0 +1,83 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md north star): time-to-1e-8 relative residual for
+the 2D diffusion testcase with two-level GenEO-RAS GMRES, plus the SpMV
+sustained nnz/s on-chip. The reference publishes no absolute numbers
+(BASELINE.json.published = {}); vs_baseline is measured against the
+reference's iteration-count oracle (<= 45 iterations at tol 1e-6,
+examples/schwarz.cpp:140): vs_baseline = 45 / achieved_iterations at the
+oracle's configuration (higher is better, 1.0 = parity with the cap).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz, compute_residual, gmv
+    from hpddm_tpu.solvers.krylov import solve
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = np.float32 if on_tpu else np.float64
+
+    # --- oracle configuration: 100x100, 4 subdomains, two-level GenEO-RAS --
+    S, Nx, Ny = 4, 100, 100
+    gen = diffusion2d.generate(S, Nx, Ny, overlap=1, with_neumann=True,
+                               dtype=dtype)
+    tol = 1.0e-6 if dtype == np.float32 else 1.0e-8
+    opt = Options(tol=tol, schwarz_coarse_correction="deflated", geneo_nu=10)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    f = np.zeros((S, sch.n_max, 1), dtype=dtype)
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+
+    solve_jit = jax.jit(lambda b: solve(state, b, opt=opt))
+    res = solve_jit(f)            # compile + first run
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = solve_jit(f)
+    jax.block_until_ready(res.x)
+    solve_time = time.perf_counter() - t0
+    its = int(res.iterations)
+
+    # --- SpMV throughput (local SpMM + halo), larger batch ---------------
+    S2, Nx2, Ny2 = 16, 512, 512
+    gen2 = diffusion2d.generate(S2, Nx2, Ny2, overlap=1, dtype=dtype)
+    sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
+                   options=Options())
+    state2 = sch2.build()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(S2, sch2.n_max, 1)).astype(dtype))
+    gmv_jit = jax.jit(lambda v: gmv(state2, v))
+    y = gmv_jit(x)
+    jax.block_until_ready(y)
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = gmv_jit(y)
+    jax.block_until_ready(y)
+    spmv_time = (time.perf_counter() - t0) / reps
+    nnz = sum(m.nnz for m in gen2.mats)
+    nnz_per_s = nnz / spmv_time
+
+    print(json.dumps({
+        "metric": "2d_diffusion_geneo_ras_gmres",
+        "value": round(solve_time, 6),
+        "unit": "s_to_tol(%s, its=%d, spmv_nnz_per_s=%.3e)" % (tol, its, nnz_per_s),
+        "vs_baseline": round(45.0 / max(its, 1), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Batched local sparse matrix products.
+
+TPU re-design of ``Wrapper<K>::csrmv/csrmm`` (include/HPDDM_wrapper.hpp:
+123-146 decl; :617-700 OpenMP fallback). CSR's per-row indirection is
+replaced by format-specialized fixed-shape programs:
+
+* DIA: shifts + fused multiply-add — pure VPU, HBM-bandwidth-bound,
+  zero gathers. The fast path for stencil matrices.
+* ELL: one take_along_axis gather + reduction over the fixed row width.
+* Dense: an MXU matmul (einsum), used when the local block is effectively
+  dense or tiny.
+
+All operate on a batch x: (S, n_max, mu) — HPDDM's multi-RHS ``mu`` fused in
+every kernel (pseudo-block storage) comes for free here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpddm_tpu.core.formats import BatchedDIA, BatchedELL, BatchedDense
+
+
+def spmm_dia(A: BatchedDIA, x: jax.Array) -> jax.Array:
+    """y[s, i, :] = sum_k vals[s, k, i] * x[s, i + off_k, :]."""
+    S, nd, n = A.values.shape
+    mu = x.shape[-1]
+    max_off = max((abs(o) for o in A.offsets), default=0)
+    if max_off == 0:
+        return A.values[:, 0, :, None] * x if nd else jnp.zeros_like(x)
+    xp = jnp.pad(x, ((0, 0), (max_off, max_off), (0, 0)))
+    out = jnp.zeros((S, n, mu), dtype=jnp.result_type(A.values.dtype, x.dtype))
+    for k, off in enumerate(A.offsets):
+        shifted = xp[:, max_off + off: max_off + off + n, :]
+        out = out + A.values[:, k, :, None] * shifted
+    return out
+
+
+def spmm_ell(A: BatchedELL, x: jax.Array) -> jax.Array:
+    """y[s, i, :] = sum_w vals[s, i, w] * x[s, cols[s, i, w], :]."""
+    # gathered: (S, n, w, mu)
+    gathered = jnp.take_along_axis(x[:, :, None, :],
+                                   A.cols[:, :, :, None], axis=1)
+    return jnp.einsum("snw,snwm->snm", A.values, gathered)
+
+
+def spmm_dense(A: BatchedDense, x: jax.Array) -> jax.Array:
+    return jnp.einsum("snk,skm->snm", A.values, x,
+                      preferred_element_type=x.dtype)
+
+
+def spmm(A, x: jax.Array) -> jax.Array:
+    """Dispatch on format. x: (S, n_max, mu) -> (S, n_max, mu)."""
+    if isinstance(A, BatchedDIA):
+        return spmm_dia(A, x)
+    if isinstance(A, BatchedELL):
+        return spmm_ell(A, x)
+    if isinstance(A, BatchedDense):
+        return spmm_dense(A, x)
+    raise TypeError(f"unsupported matrix type {type(A)}")

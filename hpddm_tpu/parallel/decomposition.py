@@ -1,0 +1,209 @@
+"""Subdomain decomposition: the TPU-native replacement of ``Subdomain<K>``.
+
+The reference keeps, per MPI rank, a neighbor map ``map_`` = vector of
+(rank, list-of-shared-local-indices) and implements ``exchange`` as
+Irecv/gthr/Isend/Waitany + add (include/HPDDM_subdomain.hpp:39-130).
+
+Here all subdomains are a *batch*: a leading axis ``S`` sharded over the
+device mesh. Host-side setup (this file, numpy) resolves the pairwise
+neighbor lists into one global *interface numbering* via union-find, so that
+the runtime exchange is a dense fixed-shape program (see parallel/ops.py):
+
+    gather interface values -> scatter-add into an (n_if,)-sized buffer
+    -> psum over the mesh axis -> gather back -> scatter into place.
+
+This is mathematically identical to the reference's sum-reduce of duplicated
+unknowns, but deterministic (fixed reduction order, unlike Waitany) and
+shape-static for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpddm_tpu.core.csr import MatrixCSR
+from hpddm_tpu.core.formats import pack_local_matrices
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, i: int, j: int) -> None:
+        ri, rj = self.find(i), self.find(j)
+        if ri != rj:
+            self.parent[max(ri, rj)] = min(ri, rj)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Decomposition:
+    """Device-side decomposition state (pytree; leading axis = subdomains).
+
+    Attributes
+    ----------
+    n_loc : (S,) int32 — actual local size of each subdomain (<= n_max).
+    d : (S, n_max) — partition of unity (``Schwarz::d_``); zero on padding.
+    if_idx : (S, m_max) int32 — local indices of interface (duplicated) dofs.
+    if_gid : (S, m_max) int32 — global interface id of each, padded to n_if.
+    if_mask : (S, m_max) bool — validity of each slot.
+    ov_mask : (S, n_max) bool — union of the neighbor lists (the geometric
+        overlap region; used by ``scaleIntoOverlap`` for GenEO).
+    mult : (S, n_max) — multiplicity of each dof (# subdomains sharing it).
+    """
+    n_loc: jax.Array
+    d: jax.Array
+    if_idx: jax.Array
+    if_gid: jax.Array
+    if_mask: jax.Array
+    ov_mask: jax.Array
+    mult: jax.Array
+    S: int = dataclasses.field(metadata=dict(static=True))
+    n_max: int = dataclasses.field(metadata=dict(static=True))
+    m_max: int = dataclasses.field(metadata=dict(static=True))
+    n_if: int = dataclasses.field(metadata=dict(static=True))
+    n_global: int = dataclasses.field(metadata=dict(static=True))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_subdomains(neighbors: Sequence[Sequence[int]],
+                        mappings: Sequence[Sequence[np.ndarray]],
+                        n_loc: Sequence[int],
+                        d: Optional[Sequence[np.ndarray]] = None,
+                        n_max: Optional[int] = None,
+                        scaling: str = "normalized",
+                        dtype=np.float64) -> "Decomposition":
+        """Build from HPDDM-style neighbor lists.
+
+        neighbors[s] = list of neighbor subdomain ids (any order; the
+        reference sorts by rank — Subdomain::initialize,
+        HPDDM_subdomain.hpp:166-236).
+        mappings[s][j] = local indices of the dofs shared with
+        neighbors[s][j]; the lists of the two sides of a pair are aligned
+        elementwise (the property HPDDM's buffer exchange relies on).
+        d[s] = partition of unity; if None, 1/multiplicity scaling is used.
+        scaling:
+          * "normalized" — d_i <- d_i / sum_sharers d_q, the fixed point of
+            ``multiplicityScaling`` applied to a user d
+            (HPDDM_schwarz.hpp:381-404; examples/schwarz.cpp always runs it),
+          * "given" — use d exactly as passed,
+          * "multiplicity" — ignore d, use 1/multiplicity.
+        """
+        S = len(neighbors)
+        n_loc = np.asarray(n_loc, dtype=np.int64)
+        if n_max is None:
+            n_max = int(n_loc.max()) if S else 0
+
+        offsets = np.concatenate([[0], np.cumsum(n_loc)])
+        total = int(offsets[-1])
+        uf = _UnionFind(total)
+        for s in range(S):
+            for q, idx in zip(neighbors[s], mappings[s]):
+                if q < s:
+                    continue  # handle each pair once, from the lower side
+                # find the matching list on the q side
+                try:
+                    pos = list(neighbors[q]).index(s)
+                except ValueError as e:
+                    raise ValueError(f"neighbor lists inconsistent: {s}<->{q}") from e
+                idx_q = mappings[q][pos]
+                if len(idx) != len(idx_q):
+                    raise ValueError(
+                        f"mapping length mismatch between {s} and {q}: "
+                        f"{len(idx)} vs {len(idx_q)}")
+                a = offsets[s] + np.asarray(idx, dtype=np.int64)
+                b = offsets[q] + np.asarray(idx_q, dtype=np.int64)
+                for i, j in zip(a, b):
+                    uf.union(int(i), int(j))
+
+        roots = np.array([uf.find(i) for i in range(total)], dtype=np.int64)
+        # interface dofs: classes with more than one member
+        unique_roots, counts = np.unique(roots, return_counts=True)
+        class_size = dict(zip(unique_roots.tolist(), counts.tolist()))
+        shared = np.array([class_size[r] > 1 for r in roots])
+        if_roots = np.unique(roots[shared])
+        gid_of_root = {int(r): k for k, r in enumerate(if_roots)}
+        n_if = len(if_roots)
+        n_global = len(unique_roots)
+
+        m_count = np.zeros(S, dtype=np.int64)
+        for s in range(S):
+            lo, hi = offsets[s], offsets[s + 1]
+            m_count[s] = int(shared[lo:hi].sum())
+        m_max = int(m_count.max(initial=1))
+
+        if_idx = np.zeros((S, m_max), dtype=np.int32)
+        if_gid = np.full((S, m_max), n_if, dtype=np.int32)
+        if_mask = np.zeros((S, m_max), dtype=bool)
+        mult = np.zeros((S, n_max), dtype=dtype)
+        ov_mask = np.zeros((S, n_max), dtype=bool)
+        for s in range(S):
+            lo, hi = offsets[s], offsets[s + 1]
+            loc = np.nonzero(shared[lo:hi])[0]
+            if_idx[s, : len(loc)] = loc
+            if_gid[s, : len(loc)] = [gid_of_root[int(roots[lo + i])] for i in loc]
+            if_mask[s, : len(loc)] = True
+            mult[s, : n_loc[s]] = [class_size[int(r)] for r in roots[lo:hi]]
+            for idx in mappings[s]:
+                ov_mask[s, np.asarray(idx, dtype=np.int64)] = True
+
+        d_arr = np.zeros((S, n_max), dtype=dtype)
+        if d is None or scaling == "multiplicity":
+            for s in range(S):
+                d_arr[s, : n_loc[s]] = 1.0 / mult[s, : n_loc[s]]
+        else:
+            for s in range(S):
+                d_arr[s, : n_loc[s]] = np.asarray(d[s], dtype=dtype)
+            if scaling == "normalized":
+                # class-wise normalization: d_i <- d_i / sum_{sharers} d_q
+                # (the order-independent fixed point of multiplicityScaling)
+                class_sum: dict = {}
+                for s in range(S):
+                    lo = offsets[s]
+                    for i in range(n_loc[s]):
+                        r = int(roots[lo + i])
+                        class_sum[r] = class_sum.get(r, 0.0) + d_arr[s, i]
+                for s in range(S):
+                    lo = offsets[s]
+                    for i in range(n_loc[s]):
+                        v = d_arr[s, i]
+                        if abs(v) < 1.0e-12:
+                            d_arr[s, i] = 0.0
+                        else:
+                            d_arr[s, i] = v / class_sum[int(roots[lo + i])]
+
+        return Decomposition(
+            n_loc=jnp.asarray(n_loc, dtype=jnp.int32),
+            d=jnp.asarray(d_arr),
+            if_idx=jnp.asarray(if_idx),
+            if_gid=jnp.asarray(if_gid),
+            if_mask=jnp.asarray(if_mask),
+            ov_mask=jnp.asarray(ov_mask),
+            mult=jnp.asarray(mult),
+            S=S, n_max=int(n_max), m_max=m_max, n_if=n_if, n_global=n_global,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def row_mask(self) -> jax.Array:
+        """(S, n_max) bool — valid (non-padded) rows."""
+        return jnp.arange(self.n_max)[None, :] < self.n_loc[:, None]
+
+    def zero_pad(self, x: jax.Array) -> jax.Array:
+        """Zero out padded rows of a (S, n_max, ...) array."""
+        mask = self.row_mask
+        return jnp.where(mask.reshape(mask.shape + (1,) * (x.ndim - 2)), x, 0)

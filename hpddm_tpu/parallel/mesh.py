@@ -1,0 +1,81 @@
+"""Device-mesh execution: one subdomain (or a block of subdomains) per chip.
+
+The reference's SPMD model is one subdomain per MPI rank with raw MPI
+communication (SURVEY.md §2.2). Here the subdomain batch axis is sharded
+over a 1D ``jax.sharding.Mesh`` axis ``'sub'`` and the whole solve runs
+inside one ``shard_map``: halo reductions become ``lax.psum`` of the small
+interface buffer, dots become psums, the coarse solve is replicated.
+
+``shard_state``/``state_pspecs`` map a SchwarzState pytree onto the mesh:
+every leaf with a leading subdomain axis is sharded, the coarse matrix
+inverse is replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hpddm_tpu.options import Options
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "sub") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _is_subdomain_leaf(path_leaf, S: int) -> bool:
+    x = path_leaf
+    return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == S
+
+
+def state_pspecs(state, axis: str = "sub"):
+    """PartitionSpec pytree: shard S-leading leaves, replicate the rest."""
+    S = state.dec.d.shape[0]
+    def spec(x):
+        if _is_subdomain_leaf(x, S):
+            return P(axis, *([None] * (x.ndim - 1)))
+        return P(*([None] * getattr(x, "ndim", 0)))
+    return jax.tree_util.tree_map(spec, state)
+
+
+def shard_state(state, mesh: Mesh, axis: str = "sub"):
+    """device_put the state with the proper shardings."""
+    specs = state_pspecs(state, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        state, specs)
+
+
+def sharded_solve(state, b: jax.Array, opt: Options, mesh: Mesh,
+                  axis: str = "sub", x0: Optional[jax.Array] = None):
+    """Run the full Krylov solve under shard_map over the subdomain axis.
+
+    The number of subdomains must be divisible by the mesh size. Returns a
+    KrylovResult whose x is sharded, scalars replicated.
+    """
+    from hpddm_tpu.solvers.krylov import solve as _solve
+
+    specs = state_pspecs(state, axis)
+    vec_spec = P(axis, None, None)
+    scal_spec = P()
+    out_specs_result = type(b)  # placeholder, replaced below
+
+    def run(st, bb):
+        res = _solve(st, bb, opt=opt, axis_name=axis)
+        return res
+
+    from hpddm_tpu.solvers.gmres import KrylovResult
+    out_specs = KrylovResult(x=vec_spec, iterations=scal_spec,
+                             it_per_rhs=scal_spec, rel_res=scal_spec,
+                             converged=scal_spec)
+    fn = jax.shard_map(run, mesh=mesh, in_specs=(specs, vec_spec),
+                       out_specs=out_specs, check_vma=False)
+    return fn(state, b)

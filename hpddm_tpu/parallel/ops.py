@@ -1,0 +1,116 @@
+"""Runtime communication primitives (the ``exchange`` layer).
+
+The reference's halo exchange is an additive reduction over duplicated
+unknowns via MPI point-to-point (HPDDM_subdomain.hpp:115-130); dot products
+weight by the partition of unity so overlapping dofs are not double-counted
+(HPDDM_iterative.hpp:489-522). Here:
+
+* ``exchange`` = interface gather -> scatter-add into an (n_if+1,) buffer ->
+  optional ``lax.psum`` over the mesh axis -> gather back. One fused XLA
+  program; deterministic reduction order.
+* ``scaled_exchange`` = multiply by the POU first (``Schwarz::exchange``,
+  HPDDM_schwarz.hpp:180-188) — this is what makes local solves "restricted".
+* ``weighted_dot`` / ``weighted_norm_sq`` = POU-weighted reductions +
+  ``psum``: the per-iteration world collectives of the Krylov loop.
+
+All functions take ``axis_name=None`` (single-device batch: the whole S axis
+is local, no collective needed) or the mesh axis name used inside
+``shard_map`` (the S axis is split across devices; ``psum`` rides ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hpddm_tpu.dtypes import conj
+from hpddm_tpu.parallel.decomposition import Decomposition
+
+
+def psum_if(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """psum over the subdomain mesh axis if sharded, identity otherwise."""
+    if axis_name is None:
+        return x
+    return lax.psum(x, axis_name)
+
+
+def _interface_reduce(dec: Decomposition, vals: jax.Array,
+                      axis_name: Optional[str]) -> jax.Array:
+    """Sum interface contributions over all owners.
+
+    vals: (S_loc, m_max, mu) gathered interface values (zero on invalid
+    slots). Returns (S_loc, m_max, mu) with each slot holding the sum over
+    every subdomain sharing that dof.
+    """
+    mu = vals.shape[-1]
+    buf = jnp.zeros((dec.n_if + 1, mu), dtype=vals.dtype)
+    flat_gid = dec.if_gid.reshape(-1)
+    buf = buf.at[flat_gid].add(vals.reshape(-1, mu))
+    buf = psum_if(buf, axis_name)
+    return buf[dec.if_gid]
+
+
+def exchange(dec: Decomposition, x: jax.Array,
+             axis_name: Optional[str] = None) -> jax.Array:
+    """Sum-reduce duplicated unknowns (``Subdomain::exchange``).
+
+    x: (S_loc, n_max, mu). After the call, every copy of a shared dof holds
+    the sum of all copies; interior dofs are untouched.
+    """
+    vals = jnp.take_along_axis(x, dec.if_idx[:, :, None], axis=1)
+    vals = jnp.where(dec.if_mask[:, :, None], vals, 0)
+    summed = _interface_reduce(dec, vals, axis_name)
+    # scatter back only into valid slots
+    upd = jnp.where(dec.if_mask[:, :, None], summed, vals)
+    return _scatter_rows(x, dec.if_idx, dec.if_mask, upd)
+
+
+def scaled_exchange(dec: Decomposition, x: jax.Array,
+                    axis_name: Optional[str] = None) -> jax.Array:
+    """``Schwarz::exchange``: multiply by the POU then sum-reduce.
+
+    For a consistent input this is the identity (sum_q R_q^T D_q R_q = I).
+    """
+    return exchange(dec, dec.d[:, :, None] * x, axis_name)
+
+
+def _scatter_rows(x: jax.Array, idx: jax.Array, mask: jax.Array,
+                  vals: jax.Array) -> jax.Array:
+    """x[s, idx[s, k], :] = vals[s, k, :] where mask[s, k].
+
+    Invalid slots point at row 0 with their original gathered value, so the
+    unconditional scatter is still correct as long as duplicate slots carry
+    identical values — which `exchange` guarantees (idx 0 appears at most
+    once per row among valid slots; invalid slots all write the *gathered*
+    value of row 0 back... To stay safe we scatter with explicit select).
+    """
+    S, m = idx.shape
+    s_idx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, m))
+    safe_idx = jnp.where(mask, idx, x.shape[1])  # out-of-bounds -> dropped
+    return x.at[s_idx, safe_idx].set(vals, mode="drop")
+
+
+def weighted_dot(dec: Decomposition, x: jax.Array, y: jax.Array,
+                 axis_name: Optional[str] = None) -> jax.Array:
+    """POU-weighted global dot per RHS: sum_s sum_i d[s,i] conj(x) y -> (mu,)."""
+    local = jnp.sum(dec.d[:, :, None] * conj(x) * y, axis=(0, 1))
+    return psum_if(local, axis_name)
+
+
+def weighted_norm_sq(dec: Decomposition, x: jax.Array,
+                     axis_name: Optional[str] = None) -> jax.Array:
+    """POU-weighted squared norm per RHS -> (mu,) real."""
+    local = jnp.sum(dec.d[:, :, None] * jnp.abs(x) ** 2, axis=(0, 1))
+    return psum_if(local, axis_name)
+
+
+def weighted_gram(dec: Decomposition, V: jax.Array, y: jax.Array,
+                  axis_name: Optional[str] = None) -> jax.Array:
+    """Batch of weighted dots against a basis: V (k, S, n, mu), y (S, n, mu)
+    -> (k, mu). The CGS single-allreduce Gram vector
+    (HPDDM_iterative.hpp:489-522)."""
+    local = jnp.einsum("ksnm,snm->km", conj(V), dec.d[None, :, :, None] * y)
+    return psum_if(local, axis_name)

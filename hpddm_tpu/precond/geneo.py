@@ -1,0 +1,119 @@
+"""GenEO spectral coarse spaces.
+
+TPU re-design of the reference GenEO pipeline:
+
+* ``scale_into_overlap`` — B = D A D restricted to the geometric overlap
+  (``Schwarz::scaleIntoOverlap``, HPDDM_schwarz.hpp:622-657),
+* ``solve_gevp`` — the local generalized eigenproblem
+  A_neu v = lambda B v, smallest lambdas. The reference reverse-communicates
+  with ARPACK in shift-invert mode (sigma=0, bmat="G", which="LM" on
+  A^-1 B — HPDDM_ARPACK.hpp:84-151). On TPU we go *batched dense*: subdomain
+  problems are small and eigh is an MXU-friendly one-shot:
+      A_reg = A_neu + eps*scale*I  (the null-pivot regularization MUMPS
+      ICNTL(24) provides in the reference)
+      L = chol(A_reg);  C = L^-1 B L^-T;  eigh(C) -> mu descending
+      lambda = 1/mu, v = L^-T y  (largest mu == smallest pencil lambda)
+  vmapped over the subdomain axis — every chip factors its own subdomains.
+* ``select_nu`` — threshold cut + ``geneo_force_uniformity`` min/max
+  (``Eigensolver::selectNu``, HPDDM_eigensolver.hpp:106-159). The
+  deflation operator Z E^-1 Z^T is invariant under per-subdomain invertible
+  column transforms of Z, so eigenvector scaling is free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpddm_tpu.core.formats import batched_dense_from
+from hpddm_tpu.parallel.decomposition import Decomposition
+
+
+def scale_into_overlap(A, dec: Decomposition) -> jax.Array:
+    """B = (D A D) restricted to overlap rows/cols, dense (S, n, n)."""
+    Ad = batched_dense_from(A)
+    mask = dec.ov_mask.astype(Ad.dtype)
+    dd = dec.d * mask                                        # zero off-overlap
+    return Ad * dd[:, :, None] * dd[:, None, :]
+
+
+def solve_gevp_dense(A_neu: jax.Array, B: jax.Array, nu_max: int,
+                     reg: float = 1.0e-10) -> Tuple[jax.Array, jax.Array]:
+    """Batched pencil solve: nu_max smallest-lambda eigenpairs of
+    A_neu v = lambda B v with B PSD (possibly singular).
+
+    Both inputs are symmetrized first: the reference's test generator
+    assembles *nonsymmetric* local matrices when the overlap clamps the
+    subdomain width (the ``Nx // xGrid`` vertical-offset quirk,
+    examples/generate.cpp:201), which the reference tolerates by running
+    nonsymmetric ARPACK (dnaupd). The GenEO coarse space only needs a good
+    spectral subspace, and XLA has no nonsymmetric eig on TPU, so we solve
+    the symmetric part's pencil:
+
+        A^{-1/2} = U diag(1/sqrt(max(w, eps))) U^T   (eigh-based, no chol)
+        C = A^{-1/2} B A^{-1/2};  eigh(C) -> mu descending; lambda = 1/mu
+
+    Returns (eigenvalues (S, nu_max) ascending, vectors (S, n, nu_max)).
+    """
+    S, n, _ = A_neu.shape
+    A_sym = 0.5 * (A_neu + jnp.swapaxes(A_neu, 1, 2))
+    B_sym = 0.5 * (B + jnp.swapaxes(B, 1, 2))
+    scale = jnp.mean(jnp.abs(jnp.diagonal(A_sym, axis1=1, axis2=2)), axis=1)
+
+    def one(As, Bs, sc):
+        w, U = jnp.linalg.eigh(As)
+        floor = jnp.maximum(reg * sc, 10 * jnp.finfo(w.dtype).tiny)
+        w_safe = jnp.maximum(w, floor)
+        inv_sqrt = U * (1.0 / jnp.sqrt(w_safe))[None, :]
+        C = inv_sqrt.T @ Bs @ inv_sqrt
+        C = 0.5 * (C + C.T)
+        mu, Y = jnp.linalg.eigh(C)                            # ascending
+        mu_top = mu[::-1][:nu_max]                            # largest mu
+        Y_top = Y[:, ::-1][:, :nu_max]
+        V = inv_sqrt @ Y_top
+        nrm = jnp.linalg.norm(V, axis=0, keepdims=True)
+        V = V / jnp.where(nrm > 0, nrm, 1.0)
+        lam = jnp.where(mu_top > 1e3 * jnp.finfo(mu.dtype).eps,
+                        1.0 / mu_top, jnp.inf)
+        return lam, V
+
+    lam, V = jax.vmap(one)(A_sym, B_sym, scale)
+    return lam, V
+
+
+def select_nu(eigenvalues: np.ndarray, nu_req: np.ndarray,
+              threshold: Optional[float] = None,
+              force_uniformity: Optional[str] = None,
+              rng: Optional[np.random.Generator] = None,
+              vectors: Optional[np.ndarray] = None):
+    """Per-subdomain count selection (Eigensolver::selectNu).
+
+    eigenvalues: (S, nu_max) ascending pencil eigenvalues;
+    nu_req: (S,) requested counts (geneo_nu, possibly nonuniform).
+    Returns (nu_loc (S,), vectors possibly padded for force max).
+    """
+    S, nu_max = eigenvalues.shape
+    nu_loc = np.minimum(np.asarray(nu_req, dtype=np.int64), nu_max)
+    if threshold is not None and threshold > 0:
+        below = (eigenvalues < threshold).sum(axis=1)
+        # the reference's upper_bound starts at +1: keep at least one vector
+        nu_loc = np.minimum(nu_loc, np.maximum(below, 1))
+    if force_uniformity == "min":
+        nu_loc[:] = nu_loc.min()
+    elif force_uniformity == "max":
+        target = int(nu_loc.max())
+        if vectors is not None and rng is not None:
+            # pad deficient subdomains with random vectors orthonormalized
+            # against the computed ones (HPDDM_eigensolver.hpp:124-148)
+            for s in range(S):
+                for k in range(int(nu_loc[s]), target):
+                    v = rng.uniform(0.0, 1.0, size=vectors.shape[1])
+                    basis = vectors[s, :, :k]
+                    v = v - basis @ (basis.T @ v)
+                    nrm = np.linalg.norm(v)
+                    vectors[s, :, k] = v / (nrm if nrm > 0 else 1.0)
+        nu_loc[:] = target
+    return nu_loc, vectors

@@ -1,0 +1,342 @@
+"""One- and two-level overlapping Schwarz preconditioners.
+
+TPU re-design of ``Schwarz<Solver, CoarseOperator, S, K>``
+(include/HPDDM_schwarz.hpp:86-803). The preconditioner state is a pytree of
+batched arrays (leading axis = subdomains, shardable over a mesh axis); the
+runtime methods are pure jittable functions:
+
+* ``apply``  — M^-1 with variants RAS/ASM/ORAS/SORAS/none
+  (HPDDM_schwarz.hpp:527-612) and coarse corrections
+  deflated/additive/balanced,
+* ``gmv``    — global SpMV = local SpMM + POU-scaled sum-exchange
+  (HPDDM_schwarz.hpp:726-747),
+* ``deflation`` — coarse correction Z E^-1 Z^T D (HPDDM_schwarz.hpp:
+  1602-1622); the coarse matrix E = Z^T A Z is assembled with batched
+  einsums + one psum and replicated on every chip, removing the reference's
+  gather -> main-process direct solve -> scatter latency
+  (HPDDM_coarse_operator_impl.hpp:1630-1732),
+* ``compute_residual`` — independent residual recomputation
+  (HPDDM_schwarz.hpp:761-803).
+
+The local direct solves delegate to batched MXU factorizations
+(ops/local_solve.py) instead of MUMPS/PARDISO/SuiteSparse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpddm_tpu.core.csr import MatrixCSR
+from hpddm_tpu.core.formats import (BatchedDense, batched_dense_from,
+                                    pack_local_matrices)
+from hpddm_tpu.dtypes import HPDDM_EPS, HPDDM_PEN
+from hpddm_tpu.ops.local_solve import LocalSolver, factorize
+from hpddm_tpu.ops.spmv import spmm
+from hpddm_tpu.options import Options
+from hpddm_tpu.parallel.decomposition import Decomposition
+from hpddm_tpu.parallel.ops import exchange, psum_if, scaled_exchange
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CoarseState:
+    """Two-level (GenEO or user) coarse-space state, replicated coarse solve."""
+    Z: jax.Array                  # (S, n_max, nu_max) local deflation vectors
+    E_inv: jax.Array              # (N_c, N_c) inverse of the coarse matrix
+    nu_loc: jax.Array             # (S,) int32 — actual nu per subdomain
+    nu_max: int = dataclasses.field(metadata=dict(static=True))
+    correction: str = dataclasses.field(metadata=dict(static=True))
+    # 'deflated' | 'additive' | 'balanced' (HPDDM_SCHWARZ_COARSE_CORRECTION_*)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SchwarzState:
+    dec: Decomposition
+    A: object                     # batched local matrices (DIA/ELL/Dense)
+    solver: LocalSolver
+    coarse: Optional[CoarseState]
+    variant: str = dataclasses.field(metadata=dict(static=True))
+    # 'ras' | 'asm' | 'oras' | 'soras' | 'osm' | 'none'
+    # (Prcndtnr::{GE,SY,OG,OS,NO}, HPDDM_schwarz.hpp:104-110)
+
+
+# ----------------------------------------------------------------------
+# Runtime (pure functions over SchwarzState)
+# ----------------------------------------------------------------------
+
+def gmv(state: SchwarzState, x: jax.Array,
+        axis_name: Optional[str] = None) -> jax.Array:
+    """Global SpMV on a consistent input: local SpMM then scaled exchange.
+
+    Correct because the POU vanishes on each subdomain's artificial boundary,
+    exactly where the local rows are incomplete (HPDDM_schwarz.hpp:726-747).
+    """
+    y = spmm(state.A, x)
+    return scaled_exchange(state.dec, y, axis_name)
+
+
+def one_level_apply(state: SchwarzState, x: jax.Array,
+                    axis_name: Optional[str] = None) -> jax.Array:
+    """One-level M^-1 (HPDDM_schwarz.hpp:532-546)."""
+    dec = state.dec
+    v = state.variant
+    if v == "none":
+        return x
+    if v in ("ras", "oras"):
+        out = state.solver.solve(x)
+        return scaled_exchange(dec, out, axis_name)          # out = sum R^T D A_loc^-1 x
+    if v == "soras":
+        out = dec.d[:, :, None] * x
+        out = state.solver.solve(out)
+        out = dec.d[:, :, None] * out
+        return exchange(dec, out, axis_name)                 # out = sum R^T D A^-1 D x
+    # asm / osm
+    out = state.solver.solve(x)
+    return exchange(dec, out, axis_name)                     # out = sum R^T A_loc^-1 x
+
+
+def deflation(state: SchwarzState, x: jax.Array,
+              axis_name: Optional[str] = None) -> jax.Array:
+    """Coarse correction out = Z E^-1 Z^T D x (HPDDM_schwarz.hpp:1602-1622).
+
+    The coarse solve is replicated: every device holds E^-1 (nu*S square,
+    small; optionally in lower precision) and the coarse RHS is reduced with
+    one psum — no gather/scatter round-trip.
+    """
+    co = state.coarse
+    dec = state.dec
+    dx = dec.d[:, :, None] * x                               # D x
+    # coarse RHS c[(s,a)] = Z_s[:,a]^T (D x)_s  -> (S, nu, mu)
+    c_loc = jnp.einsum("sna,snm->sam", jnp.conj(co.Z), dx)
+    S_loc = x.shape[0]
+    mu = x.shape[-1]
+    if axis_name is None:
+        c = c_loc.reshape(-1, mu)                            # (N_c, mu)
+    else:
+        # all_gather over the mesh axis -> full coarse RHS on every device
+        c = jax.lax.all_gather(c_loc, axis_name, axis=0, tiled=True)
+        c = c.reshape(-1, mu)
+    y = (co.E_inv @ c.astype(co.E_inv.dtype)).astype(x.dtype)  # (N_c, mu)
+    y = y.reshape(-1, co.nu_max, mu)                         # (S, nu, mu)
+    if axis_name is None:
+        y_loc = y
+    else:
+        idx = jax.lax.axis_index(axis_name)
+        y_loc = jax.lax.dynamic_slice_in_dim(y, idx * S_loc, S_loc, axis=0)
+    out = jnp.einsum("sna,sam->snm", co.Z, y_loc)            # Z y
+    return scaled_exchange(dec, out, axis_name)
+
+
+def apply(state: SchwarzState, x: jax.Array,
+          axis_name: Optional[str] = None) -> jax.Array:
+    """Full preconditioner apply (HPDDM_schwarz.hpp:527-612).
+
+    Two-level branches mirror the reference exactly: the smoother inside a
+    coarse correction always ends with the *scaled* exchange (the OS/SORAS
+    variant additionally pre-scales by D before the local solve)."""
+    if state.coarse is None:
+        return one_level_apply(state, x, axis_name)
+    dec = state.dec
+    corr = state.coarse.correction
+    if corr == "additive":
+        out = deflation(state, x, axis_name)
+        work = state.solver.solve(x)
+        return out + scaled_exchange(dec, work, axis_name)
+    # deflated / balanced (HPDDM_schwarz.hpp:572-608)
+    out = deflation(state, x, axis_name)                     # Z E^-1 Z^T D x
+    work = x - gmv(state, out, axis_name)                    # (I - A Z E^-1 Z^T D) x
+    if state.variant == "soras":
+        work = dec.d[:, :, None] * work
+    work = state.solver.solve(work)
+    work = scaled_exchange(dec, work, axis_name)             # D A_loc^-1 (...)
+    if corr == "balanced":
+        tmp = gmv(state, work, axis_name)
+        work = work - deflation(state, tmp, axis_name)
+    return out + work
+
+
+def compute_residual(state: SchwarzState, x: jax.Array, f: jax.Array,
+                     axis_name: Optional[str] = None, norm: str = "l2"):
+    """Independent residual recomputation (HPDDM_schwarz.hpp:761-803).
+
+    Returns (norm_b, norm_r) per RHS, POU-weighted so overlapping dofs are
+    counted once; Dirichlet-penalty rows are filtered like the reference.
+    """
+    dec = state.dec
+    r = gmv(state, x, axis_name) - f
+    w = dec.d[:, :, None]
+    f_eff = jnp.where(jnp.abs(f) > HPDDM_EPS * HPDDM_PEN, f / HPDDM_PEN, f)
+    if norm == "l2":
+        nr = psum_if(jnp.sum(w * jnp.abs(r) ** 2, axis=(0, 1)), axis_name)
+        nb = psum_if(jnp.sum(w * jnp.abs(f_eff) ** 2, axis=(0, 1)), axis_name)
+        return jnp.sqrt(nb), jnp.sqrt(nr)
+    if norm == "l1":
+        nr = psum_if(jnp.sum(w * jnp.abs(r), axis=(0, 1)), axis_name)
+        nb = psum_if(jnp.sum(w * jnp.abs(f_eff), axis=(0, 1)), axis_name)
+        return nb, nr
+    nr = jnp.max(jnp.abs(r), axis=(0, 1))
+    nb = jnp.max(jnp.abs(f_eff), axis=(0, 1))
+    if axis_name is not None:
+        nr = jax.lax.pmax(nr, axis_name)
+        nb = jax.lax.pmax(nb, axis_name)
+    return nb, nr
+
+
+# ----------------------------------------------------------------------
+# Setup (host side)
+# ----------------------------------------------------------------------
+
+class Schwarz:
+    """Host-side builder: packs matrices, factorizes, assembles the coarse op.
+
+    Mirrors the setup call stack of examples/schwarz.cpp:90-127
+    (Subdomain::initialize -> multiplicityScaling/initialize(d) ->
+    [solveGEVP/setVectors -> buildTwo] -> callNumfact).
+    """
+
+    def __init__(self, mats: Sequence[MatrixCSR],
+                 neighbors: Sequence[Sequence[int]],
+                 mappings: Sequence[Sequence[np.ndarray]],
+                 d: Optional[Sequence[np.ndarray]] = None,
+                 options: Optional[Options] = None,
+                 fmt: str = "auto"):
+        self.opt = options if options is not None else Options()
+        n_loc = [m.n for m in mats]
+        self.dec = Decomposition.from_subdomains(neighbors, mappings, n_loc,
+                                                 d=d)
+        self.mats = list(mats)
+        self.A = pack_local_matrices(mats, n_max=self.dec.n_max, fmt=fmt)
+        self.n_max = self.dec.n_max
+        self._deflation_vectors: Optional[List[np.ndarray]] = None
+        self._state: Optional[SchwarzState] = None
+
+    # -- HPDDM-style hooks -------------------------------------------------
+    def set_vectors(self, vectors: Sequence[np.ndarray]) -> None:
+        """User deflation vectors (``setVectors``): vectors[s] is (n_s, nu_s)."""
+        self._deflation_vectors = [np.atleast_2d(np.asarray(v)).reshape(self.mats[s].n, -1)
+                                   for s, v in enumerate(vectors)]
+
+    def solve_gevp(self, neumann: Sequence[MatrixCSR],
+                   nu=None) -> np.ndarray:
+        """GenEO: local pencil A_neu v = lambda (DAD|overlap) v
+        (``Schwarz::solveGEVP``, HPDDM_schwarz.hpp:665-715). Smallest-lambda
+        eigenvectors become the deflation vectors; returns nu per subdomain.
+
+        nu: scalar or (S,) requested counts; defaults to -hpddm_geneo_nu.
+        Threshold / force-uniformity honor -hpddm_geneo_threshold and
+        -hpddm_geneo_force_uniformity.
+        """
+        from hpddm_tpu.precond.geneo import (scale_into_overlap,
+                                             solve_gevp_dense, select_nu)
+        opt = self.opt
+        S = self.dec.S
+        if nu is None:
+            nu = int(opt.val("geneo_nu"))
+        nu_req = np.full(S, nu, dtype=np.int64) if np.isscalar(nu) \
+            else np.asarray(nu, dtype=np.int64)
+        nu_max_req = int(max(1, nu_req.max()))
+
+        A_neu = batched_dense_from(pack_local_matrices(
+            neumann, n_max=self.n_max, fmt="dense", pad_identity=True))
+        B = scale_into_overlap(self.A, self.dec)
+        lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
+        lam_np = np.asarray(lam)
+        V_np = np.asarray(V)
+        threshold = opt.val("geneo_threshold")
+        nu_loc, V_np = select_nu(
+            lam_np, nu_req,
+            threshold=float(threshold) if threshold is not None else None,
+            force_uniformity=opt.val("geneo_force_uniformity"),
+            rng=np.random.default_rng(42), vectors=V_np)
+        self._deflation_vectors = [
+            np.ascontiguousarray(V_np[s, : self.mats[s].n, : int(nu_loc[s])])
+            for s in range(S)]
+        # HPDDM writes the attained count back into the option map
+        self.opt["geneo_nu"] = int(nu_loc.max(initial=1))
+        return nu_loc
+
+    def build(self, dtype=None) -> SchwarzState:
+        """Factorize local solvers (+ coarse operator) and return the state."""
+        opt = self.opt
+        variant = opt.val("schwarz_method")
+        local_kind = opt.val("local_solver")
+        A_dense = batched_dense_from(self.A)
+        if dtype is not None:
+            A_dense = A_dense.astype(dtype)
+        solver = factorize(A_dense, kind=local_kind)
+
+        coarse = None
+        correction = opt.val("schwarz_coarse_correction")
+        if correction is not None:
+            coarse = self._build_coarse(correction, A_dense.dtype)
+
+        state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
+                             coarse=coarse, variant=variant)
+        self._state = state
+        return state
+
+    # -- coarse operator ---------------------------------------------------
+    def _build_coarse(self, correction: str, dtype) -> CoarseState:
+        """Assemble E = Z^T A Z and invert it (replicated coarse solve).
+
+        Z columns: user vectors (set_vectors) or GenEO eigenvectors
+        (solve_gevp, precond/geneo.py); defaults to the constant vector
+        (the nu == 0 branch of examples/schwarz.cpp:116-121).
+        """
+        dec = self.dec
+        S = dec.S
+        if self._deflation_vectors is None:
+            vecs = [np.ones((self.mats[s].n, 1)) for s in range(S)]
+        else:
+            vecs = self._deflation_vectors
+        nu_loc = np.array([v.shape[1] for v in vecs], dtype=np.int32)
+        nu_max = int(nu_loc.max(initial=1))
+        Z = np.zeros((S, self.n_max, nu_max), dtype=np.asarray(vecs[0]).dtype)
+        for s, v in enumerate(vecs):
+            Z[s, : v.shape[0], : v.shape[1]] = v
+        Z = jnp.asarray(Z, dtype=dtype)
+
+        E_inv = self._assemble_and_invert_E(Z, nu_loc, nu_max, dtype)
+        return CoarseState(Z=Z, E_inv=E_inv,
+                           nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
+                           correction=correction)
+
+    def _assemble_and_invert_E(self, Z, nu_loc, nu_max, dtype):
+        """E[(s,a),(q,b)] = (R_s^T D_s Z_s^a)^T A (R_q^T D_q Z_q^b).
+
+        Batched on device: X = exchange(D Z-as-global-columns) gives every
+        subdomain its restriction of all coarse basis vectors; then
+        E = sum_s X_s^T D_s (A_s X_s) — one einsum + psum. Replaces the
+        reference's per-neighbor block sends (HPDDM_operator.hpp:378-562).
+        """
+        dec = self.dec
+        S, n, _ = Z.shape
+        N_c = S * nu_max
+        # X0[s, :, (q,b)] = delta_{q,s} (D_s Z_s^b)
+        DZ = dec.d[:, :, None] * Z                           # (S, n, nu)
+        X0 = jnp.zeros((S, n, N_c), dtype=Z.dtype)
+        cols = (jnp.arange(S)[:, None] * nu_max
+                + jnp.arange(nu_max)[None, :])               # (S, nu)
+        s_idx = jnp.broadcast_to(jnp.arange(S)[:, None, None], (S, n, nu_max))
+        r_idx = jnp.broadcast_to(jnp.arange(n)[None, :, None], (S, n, nu_max))
+        c_idx = jnp.broadcast_to(cols[:, None, :], (S, n, nu_max))
+        X0 = X0.at[s_idx, r_idx, c_idx].set(DZ)
+        X = exchange(dec, X0)                                # consistent rep
+        Y = spmm(self.A, X)                                  # A_s X_s
+        E = jnp.einsum("snp,sn,snq->pq", jnp.conj(X), dec.d, Y)
+        # pad empty coarse slots (nonuniform nu) with identity
+        slot_active = (jnp.arange(nu_max)[None, :]
+                       < jnp.asarray(nu_loc)[:, None]).reshape(-1)
+        E = jnp.where(slot_active[:, None] & slot_active[None, :], E,
+                      jnp.eye(N_c, dtype=E.dtype))
+        coarse_dtype = self.opt.val("coarse_dtype")
+        if coarse_dtype not in (None, "same"):
+            E = E.astype(coarse_dtype)
+        E_inv = jnp.linalg.inv(E)
+        return E_inv

@@ -1,0 +1,391 @@
+"""GCRO-DR: GMRES with deflated restarting and subspace recycling.
+
+TPU re-design of include/HPDDM_GCRODR.hpp:35-444 (single space; the block
+variant reuses this machinery). Structure:
+
+* the recycled pair (U, C = A_prec U, C orthonormal) lives in the
+  *preconditioned operator* space (op = A M^-1 for the right variant,
+  M^-1 A for left), exactly like the reference's updateSolRecycling
+  bookkeeping (HPDDM_iterative.hpp:337-393),
+* each cycle runs a projected Arnoldi on (I - C C^H) op with the fused CGS
+  Gram (one psum covering both the C-projection coefficients B and the
+  Hessenberg column), jitted as one XLA program per cycle,
+* at the end of the first full cycle, harmonic Ritz vectors of the
+  Hessenberg (H + h_{p+1,p}^2 H^-H e_p e_p^T) g = theta g seed U
+  (HPDDM_GCRODR.hpp:676-707); later cycles solve the Parks et al.
+  generalized problem G^H G p = theta G^H (Q^H W) p with the small dense
+  cross products — the reference's "prod" allreduce
+  (HPDDM_GCRODR.hpp:745-760). The small nonsymmetric eigensolves run as
+  host callbacks (numpy), mirroring the reference's LAPACK geev calls —
+  XLA has no nonsymmetric eig on TPU.
+* recycling across solves: pass ``recycled=result.recycled`` into the next
+  call (the analogue of OptionsPrefix::storage_ / -hpddm_recycle_same_system).
+
+Orchestration is eager per cycle (a handful of host syncs per restart, not
+per iteration); the hot loop is compiled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from hpddm_tpu.dtypes import HPDDM_EPS, underlying
+from hpddm_tpu.solvers.base import LinearOperator
+from hpddm_tpu.solvers.gmres import KrylovResult
+
+
+class RecycledSpace(NamedTuple):
+    U: jax.Array   # (S, n, k) recycle basis (preconditioned-operator space)
+    C: jax.Array   # (S, n, k) = op @ U, orthonormal in the weighted dot
+
+
+class GCRODRResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    it_per_rhs: jax.Array
+    rel_res: jax.Array
+    converged: jax.Array
+    recycled: Optional[RecycledSpace]
+
+
+def _select_ritz(w: np.ndarray, k: int, target: str) -> np.ndarray:
+    """Indices of k eigenvalues by -hpddm_recycle_target (SM default)."""
+    if target == "LM":
+        key = -np.abs(w)
+    elif target == "SR":
+        key = np.real(w)
+    elif target == "LR":
+        key = -np.real(w)
+    elif target == "SI":
+        key = np.abs(np.imag(w))
+    elif target == "LI":
+        key = -np.abs(np.imag(w))
+    else:  # SM
+        key = np.abs(w)
+    return np.argsort(key)[:k]
+
+
+def _harmonic_ritz_first(H_np: np.ndarray, p: int, k: int,
+                         target: str) -> np.ndarray:
+    """First-cycle harmonic Ritz of the (p+1) x p Hessenberg. Returns the
+    real (p, k) coefficient matrix."""
+    Hs = H_np[:p, :p]
+    h2 = H_np[p, p - 1] ** 2
+    ep = np.zeros(p)
+    ep[-1] = 1.0
+    try:
+        corr = h2 * np.linalg.solve(Hs.conj().T, np.outer(ep, ep))
+    except np.linalg.LinAlgError:
+        corr = 0.0
+    w, vr = np.linalg.eig(Hs + corr)
+    idx = _select_ritz(w, k, target)
+    P = vr[:, idx]
+    P = np.real(P) if not np.iscomplexobj(H_np) else P
+    # orthonormalize the coefficient block for stability
+    q, _ = np.linalg.qr(P)
+    return np.ascontiguousarray(q)
+
+
+def _harmonic_ritz_general(G: np.ndarray, QhW: np.ndarray, k: int,
+                           target: str) -> np.ndarray:
+    """Parks et al. strategy A: G^H G p = theta G^H (Q^H W) p.
+
+    G: (d+1, d), QhW: (d+1, d) with d = k + p. Returns real (d, k)."""
+    import scipy.linalg as sla
+    Amat = G.conj().T @ G
+    Bmat = G.conj().T @ QhW
+    w, vr = sla.eig(Amat, Bmat)
+    finite = np.isfinite(w)
+    w = np.where(finite, w, np.inf)
+    # theta here approximates 1/harmonic-Ritz-value; the reference selects
+    # on the pencil eigenvalues directly with the same target
+    idx = _select_ritz(w, k, target)
+    P = vr[:, idx]
+    P = np.real(P) if not np.iscomplexobj(G) else P
+    q, _ = np.linalg.qr(P)
+    return np.ascontiguousarray(q)
+
+
+def gcrodr(op: LinearOperator, b: jax.Array,
+           x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
+           restart: int = 40, max_it: int = 100, variant: str = "right",
+           recycle: int = 0, target: str = "SM", block: bool = False,
+           recycled: Optional[RecycledSpace] = None,
+           same_system: bool = False) -> GCRODRResult:
+    """Solve with GCRO-DR. mu must be 1 (pseudo-block recycling of several
+    RHS shares one space via the block variant, not implemented per-RHS)."""
+    del block  # BGCRODR shares this code path for now via mu-fused blocks
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    S, n, mu = b.shape
+    if mu != 1:
+        raise NotImplementedError("GCRODR currently supports mu=1; use "
+                                  "bgmres/bfbcg for blocks")
+    dtype = b.dtype
+    rdtype = underlying(dtype)
+    m = int(restart)
+    k = int(min(recycle, m - 1)) if recycle else 0
+    left = variant == "left"
+
+    def prec(x):
+        return op.apply(x)
+
+    def op_apply(x):  # the preconditioned operator
+        return prec(op.gmv(x)) if left else op.gmv(prec(x))
+
+    b_eff = prec(b) if left else b
+    norm = jnp.sqrt(op.norm_sq(b_eff)).astype(rdtype)
+    norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
+
+    x = x0
+    r = b_eff - (prec(op.gmv(x)) if left else op.gmv(x))
+
+    U = C = None
+    if k and recycled is not None:
+        U, C = recycled.U, recycled.C
+        if not same_system:
+            # re-project for the (possibly) new operator: C = Q of op(U)
+            AU = _apply_cols(op_apply, U)
+            Q, Rfac = _tall_qr(op, AU)
+            C = Q
+            U = _solve_right_tri(U, Rfac)
+        cr = op.gram(_cols_to_stack(C), r)[:, 0]               # (k,)
+        x = x + (prec(_lincomb(U, cr)) if not left else _lincomb(U, cr))
+        r = r - _lincomb(C, cr)
+
+    it = 1
+    first_it = 0
+    total_cap = int(max_it)
+    res_hist = np.inf
+
+    while it <= total_cap:
+        p = m - (k if U is not None else 0)
+        beta = jnp.sqrt(op.norm_sq(r)).astype(rdtype)[0]
+        if float(beta) <= float(tol * norm[0]) and it > 1:
+            break
+        V, H, B, crossing, res_hist = _arnoldi_cycle(
+            op, op_apply, r, beta, p, U, C, float(tol), np.asarray(norm)[0],
+            it, total_cap)
+        # H: (p+1, p) numpy, B: (k, p) numpy, crossing: first global it
+        # index crossing tol within this cycle (0 if none)
+        steps = min(p, total_cap - it + 1)
+        used = int(crossing - it + 1) if crossing else steps
+        used = max(min(used, steps), 0)
+
+        # LS solve on the small system
+        H_np, B_np = H, B
+        y, ls_res = _ls_solve(H_np, float(beta), used)
+        dx_coef = jnp.asarray(y, dtype=dtype)
+        Vy = jnp.einsum("j,jsnm->snm", dx_coef, V[:p])
+        if U is not None:
+            z_coef = -jnp.asarray(B_np[:, :used] @ y[:used], dtype=dtype)
+            upd = Vy + _lincomb(U, z_coef)
+        else:
+            upd = Vy
+        x = x + (upd if left else prec(upd))
+        r = b_eff - (prec(op.gmv(x)) if left else op.gmv(x))
+
+        if first_it == 0 and crossing:
+            first_it = int(crossing)
+
+        # --- recycle-space update (end of a full cycle) -----------------
+        if k and used == p:
+            if U is None:
+                P = _harmonic_ritz_first(H_np, p, min(k, p), target)
+                P_j = jnp.asarray(P, dtype=dtype)
+                U_new = jnp.einsum("jk,jsnm->snmk", P_j, V[:p])[..., 0, :]
+                GP = jnp.asarray(H_np[: p + 1, :p] @ P, dtype=dtype)
+                # C = [V] Q where QR(GP) = Q R  (small QR on host)
+                Qs, Rs = np.linalg.qr(H_np[: p + 1, :p] @ P)
+                C_new = jnp.einsum("jk,jsnm->snmk",
+                                   jnp.asarray(Qs, dtype=dtype),
+                                   V[: p + 1])[..., 0, :]
+                U = _solve_right_tri(U_new, np.asarray(Rs))
+                C = C_new
+            else:
+                d = k + p
+                # G = [[I_k, B],[0, Hbar]] : (d+1, d)
+                G = np.zeros((d + 1, d), dtype=H_np.dtype)
+                G[:k, :k] = np.eye(k)
+                G[:k, k:] = B_np
+                G[k:, k:] = H_np
+                # Q^H W cross products (the reference's allreduced "prod")
+                CU = _cross(op, C, U)                         # (k, k)
+                VU = _cross_stack(op, V[: p + 1], U)          # (p+1, k)
+                QhW = np.zeros((d + 1, d), dtype=H_np.dtype)
+                QhW[:k, :k] = CU
+                QhW[k: d + 1, :k] = VU
+                QhW[k: d, k:] = np.eye(p)
+                P = _harmonic_ritz_general(G, QhW, k, target)
+                # W P = U P_u + V_p P_v
+                P_u = jnp.asarray(P[:k], dtype=dtype)
+                P_v = jnp.asarray(P[k:], dtype=dtype)
+                U_new = _lincomb_mat(U, P_u) + jnp.einsum(
+                    "jk,jsnm->snmk", P_v, V[:p])[..., 0, :]
+                GPq, GPr = np.linalg.qr(G @ P)
+                Q_c = jnp.asarray(GPq[:k], dtype=dtype)
+                Q_v = jnp.asarray(GPq[k:], dtype=dtype)
+                C_new = _lincomb_mat(C, Q_c) + jnp.einsum(
+                    "jk,jsnm->snmk", Q_v, V[: p + 1])[..., 0, :]
+                U = _solve_right_tri(U_new, GPr)
+                C = C_new
+
+        it += used
+        if first_it:
+            break
+        if used < steps or used == 0:
+            break
+
+    rel = jnp.sqrt(op.norm_sq(r)).astype(rdtype) / norm
+    its = first_it if first_it else min(it - 1, total_cap)
+    rec = RecycledSpace(U=U, C=C) if (k and U is not None) else None
+    return GCRODRResult(x=x, iterations=jnp.int32(its),
+                        it_per_rhs=jnp.full((mu,), its, jnp.int32),
+                        rel_res=rel,
+                        converged=rel <= tol, recycled=rec)
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def _cols_to_stack(U: jax.Array) -> jax.Array:
+    """(S, n, k) -> (k, S, n, 1) stack layout used by op.gram."""
+    return jnp.moveaxis(U, -1, 0)[:, :, :, None]
+
+
+def _lincomb(U: jax.Array, coef: jax.Array) -> jax.Array:
+    """(S, n, k) x (k,) -> (S, n, 1)."""
+    return jnp.einsum("snk,k->sn", U, coef)[:, :, None]
+
+
+def _lincomb_mat(U: jax.Array, P: jax.Array) -> jax.Array:
+    """(S, n, k) x (k, k2) -> (S, n, k2)."""
+    return jnp.einsum("snk,kj->snj", U, P)
+
+
+def _apply_cols(fn, U: jax.Array) -> jax.Array:
+    cols = [fn(U[:, :, i: i + 1])[:, :, 0] for i in range(U.shape[-1])]
+    return jnp.stack(cols, axis=-1)
+
+
+def _cross(op: LinearOperator, A: jax.Array, Bm: jax.Array) -> np.ndarray:
+    """(S,n,k1)^H W (S,n,k2) weighted -> numpy (k1, k2)."""
+    w = op.weight[:, :, None] if op.weight is not None else 1.0
+    local = jnp.einsum("snk,snj->kj", jnp.conj(A), w * Bm)
+    from hpddm_tpu.parallel.ops import psum_if
+    return np.asarray(psum_if(local, op.axis_name))
+
+
+def _cross_stack(op: LinearOperator, V: jax.Array, U: jax.Array) -> np.ndarray:
+    """V (j, S, n, 1) stack vs U (S, n, k) -> numpy (j, k)."""
+    w = op.weight[:, :, None] if op.weight is not None else 1.0
+    local = jnp.einsum("jsnm,snk->jk", jnp.conj(V), (w * U)[:, :, :])
+    from hpddm_tpu.parallel.ops import psum_if
+    return np.asarray(psum_if(local, op.axis_name))
+
+
+def _tall_qr(op: LinearOperator, U: jax.Array) -> Tuple[jax.Array, np.ndarray]:
+    """Distributed CholQR of (S, n, k) in the weighted inner product."""
+    G = _cross(op, U, U)
+    R = np.linalg.cholesky(G).T.conj()
+    Rinv = np.linalg.inv(R)
+    return _lincomb_mat(U, jnp.asarray(Rinv, dtype=U.dtype)), R
+
+
+def _solve_right_tri(U: jax.Array, R: np.ndarray) -> jax.Array:
+    return _lincomb_mat(U, jnp.asarray(np.linalg.inv(R), dtype=U.dtype))
+
+
+def _ls_solve(H: np.ndarray, beta: float, used: int):
+    """min || beta e1 - H[:used+1, :used] y ||; returns (y (p,), residual)."""
+    p = H.shape[1]
+    y = np.zeros(p, dtype=H.dtype)
+    if used == 0:
+        return y, beta
+    Hs = H[: used + 1, :used]
+    rhs = np.zeros(used + 1, dtype=H.dtype)
+    rhs[0] = beta
+    sol, res, *_ = np.linalg.lstsq(Hs, rhs, rcond=None)
+    y[:used] = sol
+    return y, float(np.linalg.norm(rhs - Hs @ sol))
+
+
+def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
+                   p: int, U: Optional[jax.Array], C: Optional[jax.Array],
+                   tol: float, norm: float, it0: int, max_it: int):
+    """One projected Arnoldi cycle; jit-compiled body, eager wrapper.
+
+    Returns (V (p+1, S, n, 1), H (p+1, p) np, B (k, p) np, crossing, res)."""
+    S, n, mu = r.shape
+    dtype = r.dtype
+    k = U.shape[-1] if U is not None else 0
+
+    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    v0 = r / safe_beta
+
+    def body(carry, i):
+        V, H, B, s_vec, cs, sn, crossing = carry
+        vi = V[i]
+        w = op_apply(vi)
+        if C is not None:
+            Bcol = op.gram(_cols_to_stack(C), w)[:, 0]
+            w = w - _lincomb(C, Bcol)
+        else:
+            Bcol = jnp.zeros((0,), dtype=dtype)
+        mask = (jnp.arange(p + 1) <= i)[:, None]
+        h = op.gram(V, w)
+        h = jnp.where(mask, h, 0)
+        w = w - jnp.einsum("km,ksnm->snm", h, V)
+        hn = jnp.sqrt(op.norm_sq(w)).astype(dtype)[0]
+        safe_hn = jnp.where(jnp.abs(hn) > 0, hn, 1.0)
+        V = V.at[i + 1].set(w / safe_hn)
+        hcol = h[:, 0].at[i + 1].set(hn)
+
+        # Givens rotations for residual tracking
+        def rot(j, hc):
+            hj, hj1 = hc[j], hc[j + 1]
+            nj = cs[j] * hj + sn[j] * hj1
+            nj1 = -sn[j] * hj + cs[j] * hj1
+            app = j < i
+            return hc.at[j].set(jnp.where(app, nj, hj)) \
+                     .at[j + 1].set(jnp.where(app, nj1, hj1))
+        hrot = lax.fori_loop(0, p, rot, hcol)
+        hi, hi1 = hrot[i], hrot[i + 1]
+        denom = jnp.sqrt(jnp.abs(hi) ** 2 + jnp.abs(hi1) ** 2)
+        safe_d = jnp.where(denom > 0, denom, 1.0)
+        c_new = jnp.where(denom > 0, hi / safe_d, 1.0)
+        s_new = jnp.where(denom > 0, hi1 / safe_d, 0.0)
+        cs = cs.at[i].set(c_new)
+        sn = sn.at[i].set(s_new)
+        si = s_vec[i]
+        s_vec = s_vec.at[i + 1].set(-s_new * si).at[i].set(c_new * si)
+        res = jnp.abs(s_vec[i + 1])
+        glob_it = (it0 + i).astype(jnp.int32)
+        hit = (res <= tol * norm) & (crossing == 0) & (glob_it <= max_it)
+        crossing = jnp.where(hit, glob_it, crossing)
+        H = H.at[:, i].set(hcol)
+        B = B.at[:, i].set(Bcol) if k else B
+        return (V, H, B, s_vec, cs, sn, crossing), res
+
+    V0 = jnp.zeros((p + 1, S, n, mu), dtype=dtype).at[0].set(v0)
+    H0 = jnp.zeros((p + 1, p), dtype=dtype)
+    B0 = jnp.zeros((k, p), dtype=dtype)
+    s0 = jnp.zeros((p + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
+    cs0 = jnp.zeros((p,), dtype=dtype)
+    sn0 = jnp.zeros((p,), dtype=dtype)
+
+    @jax.jit
+    def run():
+        (V, H, B, s_vec, cs, sn, crossing), res_seq = lax.scan(
+            body, (V0, H0, B0, s0, cs0, sn0, jnp.int32(0)), jnp.arange(p))
+        return V, H, B, crossing, res_seq
+
+    V, H, B, crossing, res_seq = run()
+    return (V, np.asarray(H), np.asarray(B), int(crossing),
+            float(np.asarray(res_seq)[-1]))

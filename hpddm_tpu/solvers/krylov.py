@@ -1,0 +1,97 @@
+"""Krylov method dispatch — the analogue of ``IterativeMethod::solve``
+(include/HPDDM_iterative.hpp:1020-1111).
+
+``solve(A, b, x0, opt)`` unpacks the options (krylov_method, tol, max_it,
+restart, variant, orthogonalization, ...) and dispatches to the method
+implementations. ``A`` is a ``SchwarzState`` (wrapped automatically into a
+LinearOperator), or any ``LinearOperator`` for matrix-free use
+(``CustomOperator`` equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from hpddm_tpu.options import Options
+from hpddm_tpu.solvers.base import LinearOperator
+from hpddm_tpu.solvers.gmres import KrylovResult, gmres
+
+
+def make_operator(A, axis_name: Optional[str] = None) -> LinearOperator:
+    """Wrap a SchwarzState (or pass through a LinearOperator)."""
+    from hpddm_tpu.precond import schwarz as _schwarz
+    if isinstance(A, LinearOperator):
+        return A
+    if isinstance(A, _schwarz.SchwarzState):
+        return LinearOperator(
+            gmv=lambda x: _schwarz.gmv(A, x, axis_name),
+            apply=lambda x: _schwarz.apply(A, x, axis_name),
+            weight=A.dec.d,
+            axis_name=axis_name,
+        )
+    raise TypeError(f"cannot build an operator from {type(A)}")
+
+
+def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
+          opt: Optional[Options] = None,
+          axis_name: Optional[str] = None) -> KrylovResult:
+    """Dispatch on ``-hpddm_krylov_method`` (HPDDM_iterative.hpp:1020-1111)."""
+    if opt is None:
+        opt = Options()
+    op = make_operator(A, axis_name)
+    method = opt.val("krylov_method")
+    tol = float(opt.val("tol"))
+    max_it = int(opt.val("max_it"))
+    variant = opt.val("variant")
+
+    if b.ndim == 2:  # (S, n) convenience -> single RHS
+        b = b[:, :, None]
+        if x0 is not None and x0.ndim == 2:
+            x0 = x0[:, :, None]
+
+    if method == "gmres":
+        return gmres(op, b, x0, tol=tol,
+                     restart=int(opt.val("gmres_restart")),
+                     max_it=max_it, variant=variant,
+                     ortho=opt.val("orthogonalization"))
+    if method == "cg":
+        from hpddm_tpu.solvers.cg import cg
+        return cg(op, b, x0, tol=tol, max_it=max_it, variant=variant)
+    if method == "richardson":
+        from hpddm_tpu.solvers.richardson import richardson
+        return richardson(op, b, x0, tol=tol, max_it=max_it,
+                          damping=float(opt.val("richardson_damping_factor")))
+    if method == "bgmres":
+        from hpddm_tpu.solvers.block import bgmres
+        return bgmres(op, b, x0, tol=tol,
+                      restart=int(opt.val("gmres_restart")),
+                      max_it=max_it, variant=variant,
+                      ortho=opt.val("orthogonalization"),
+                      deflation_tol=opt.val("deflation_tol", -1.0))
+    if method == "bcg":
+        from hpddm_tpu.solvers.block import bcg
+        return bcg(op, b, x0, tol=tol, max_it=max_it)
+    if method == "bfbcg":
+        from hpddm_tpu.solvers.block import bfbcg
+        return bfbcg(op, b, x0, tol=tol, max_it=max_it)
+    if method in ("gcrodr", "bgcrodr"):
+        from hpddm_tpu.solvers.gcrodr import gcrodr
+        return gcrodr(op, b, x0, tol=tol,
+                      restart=int(opt.val("gmres_restart")),
+                      max_it=max_it, variant=variant,
+                      recycle=int(opt.val("recycle", 0)),
+                      target=opt.val("recycle_target"),
+                      block=(method == "bgcrodr"))
+    if method == "none":
+        # unpreconditioned fixed-point on A x = b is not meaningful; the
+        # reference maps "none" to plain GMRES without preconditioner.
+        op_no = LinearOperator(gmv=op.gmv, apply=None, weight=op.weight,
+                               axis_name=axis_name)
+        return gmres(op_no, b, x0, tol=tol,
+                     restart=int(opt.val("gmres_restart")),
+                     max_it=max_it, variant=variant,
+                     ortho=opt.val("orthogonalization"))
+    raise ValueError(f"unknown krylov_method {method!r}")

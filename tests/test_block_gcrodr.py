@@ -1,0 +1,123 @@
+"""Block methods and GCRO-DR tests.
+
+GCRO-DR is validated the way the reference's driver.cpp does: solve a
+*sequence* of linear systems and check that recycling reduces the total
+iteration count (driver.cpp:151-156 uses absolute windows on its shipped
+data, which is not in the tree — .MISSING_LARGE_BLOBS)."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from hpddm_tpu.solvers.base import LinearOperator
+from hpddm_tpu.solvers.block import bgmres, bcg, bfbcg
+from hpddm_tpu.solvers.gmres import gmres
+from hpddm_tpu.solvers.gcrodr import gcrodr
+
+
+def _laplacian_1d(n, shift=0.0):
+    main = (2.0 + shift) * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    return sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+
+
+def _op(A, M_diag=None):
+    Ad = jnp.asarray(A.todense())
+
+    def gmv(x):
+        return jnp.einsum("nk,skm->snm", Ad, x)
+
+    apply = None
+    if M_diag is not None:
+        Md = jnp.asarray(1.0 / M_diag)
+
+        def apply(x):  # noqa: F811
+            return Md[None, :, None] * x
+    return LinearOperator(gmv=gmv, apply=apply)
+
+
+def test_bgmres_converges():
+    n, mu = 60, 4
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(1, n, mu))
+    op = _op(A, A.diagonal())
+    res = bgmres(op, jnp.asarray(b), tol=1e-8, restart=40, max_it=200)
+    x = np.asarray(res.x)
+    for nu in range(mu):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-7
+    # block method must need fewer iterations than pseudo-block GMRES
+    res_g = gmres(op, jnp.asarray(b), tol=1e-8, restart=40, max_it=200)
+    assert int(res.iterations) <= int(res_g.iterations)
+
+
+def test_bcg_spd():
+    n, mu = 50, 3
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=(1, n, mu))
+    op = _op(A, A.diagonal())
+    res = bcg(op, jnp.asarray(b), tol=1e-9, max_it=200)
+    x = np.asarray(res.x)
+    for nu in range(mu):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-8
+
+
+def test_bfbcg_with_dependent_rhs():
+    """Nearly dependent RHS: breakdown-free handling must still converge."""
+    n = 40
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(2)
+    b1 = rng.normal(size=n)
+    b = np.stack([b1, b1 + 1e-10 * rng.normal(size=n), rng.normal(size=n)],
+                 axis=1)[None]
+    op = _op(A, A.diagonal())
+    res = bfbcg(op, jnp.asarray(b), tol=1e-8, max_it=200, deflation_tol=1e-12)
+    x = np.asarray(res.x)
+    for nu in range(3):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-7
+
+
+def test_gcrodr_single_solve():
+    n = 80
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=(1, n, 1))
+    op = _op(A, A.diagonal())
+    res = gcrodr(op, jnp.asarray(b), tol=1e-8, restart=20, max_it=300,
+                 recycle=5)
+    x = np.asarray(res.x)
+    r = b[0, :, 0] - A @ x[0, :, 0]
+    assert np.linalg.norm(r) / np.linalg.norm(b[0, :, 0]) < 1e-7
+    assert res.recycled is not None
+
+
+def test_gcrodr_recycling_reduces_iterations():
+    """Across a sequence of similar systems total its drop vs plain GMRES
+    (the driver.cpp contract)."""
+    n = 100
+    rng = np.random.default_rng(4)
+    systems = [_laplacian_1d(n, shift=0.001 * i) for i in range(4)]
+    b = rng.normal(size=(1, n, 1))
+    bj = jnp.asarray(b)
+
+    total_gmres = 0
+    for A in systems:
+        op = _op(A)
+        r = gmres(op, bj, tol=1e-8, restart=20, max_it=500)
+        total_gmres += int(r.iterations)
+
+    total_recycled = 0
+    rec = None
+    for i, A in enumerate(systems):
+        op = _op(A)
+        r = gcrodr(op, bj, tol=1e-8, restart=20, max_it=500, recycle=8,
+                   recycled=rec)
+        rec = r.recycled
+        total_recycled += int(r.iterations)
+
+    assert total_recycled < total_gmres, (total_recycled, total_gmres)

@@ -1,0 +1,113 @@
+"""GMRES/CG unit tests on single-domain operators (no DD machinery) —
+the analogue of the reference's CustomOperator isolation tests
+(examples/schwarz.cpp:26-38, driver.cpp:46-62)."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from hpddm_tpu.solvers.base import LinearOperator
+from hpddm_tpu.solvers.gmres import gmres
+from hpddm_tpu.solvers.cg import cg
+from hpddm_tpu.solvers.richardson import richardson
+
+
+def _laplacian_1d(n):
+    main = 2.0 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    return sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+
+
+def _op(A, M_diag=None):
+    Ad = jnp.asarray(A.todense())
+
+    def gmv(x):
+        return jnp.einsum("nk,skm->snm", Ad, x)
+
+    apply = None
+    if M_diag is not None:
+        Md = jnp.asarray(1.0 / M_diag)
+
+        def apply(x):  # noqa: F811
+            return Md[None, :, None] * x
+
+    return LinearOperator(gmv=gmv, apply=apply)
+
+
+@pytest.mark.parametrize("variant", ["left", "right", "flexible"])
+@pytest.mark.parametrize("ortho", ["cgs", "mgs"])
+def test_gmres_diag_preconditioned(variant, ortho):
+    n = 60
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(1, n, 2))
+    op = _op(A, M_diag=A.diagonal())
+    res = gmres(op, jnp.asarray(b), tol=1e-8, restart=40, max_it=500,
+                variant=variant, ortho=ortho)
+    x = np.asarray(res.x)
+    for nu in range(2):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-7, \
+            f"variant={variant} ortho={ortho} nu={nu}"
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_gmres_restart_path():
+    n = 80
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=(1, n, 1))
+    op = _op(A)
+    res = gmres(op, jnp.asarray(b), tol=1e-8, restart=10, max_it=500,
+                variant="right", ortho="cgs")
+    x = np.asarray(res.x)[0, :, 0]
+    r = b[0, :, 0] - A @ x
+    assert np.linalg.norm(r) / np.linalg.norm(b[0, :, 0]) < 1e-7
+    assert int(res.iterations) > 10  # actually restarted
+
+
+def test_gmres_unpreconditioned_matches_scipy_iterations():
+    """Iteration count should be within a couple of scipy's gmres (same math)."""
+    import scipy.sparse.linalg as spla
+    n = 50
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=n)
+    op = _op(A)
+    res = gmres(op, jnp.asarray(b[None, :, None]), tol=1e-10, restart=50,
+                max_it=200, variant="right")
+    count = [0]
+
+    def cb(rk):
+        count[0] += 1
+    spla.gmres(A, b, rtol=1e-10, restart=50, maxiter=200, callback=cb,
+               callback_type="pr_norm")
+    assert abs(int(res.iterations) - count[0]) <= 3
+
+
+def test_cg_spd():
+    n = 70
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=(1, n, 2))
+    op = _op(A, M_diag=A.diagonal())
+    res = cg(op, jnp.asarray(b), tol=1e-10, max_it=300)
+    x = np.asarray(res.x)
+    for nu in range(2):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-9
+
+
+def test_richardson():
+    n = 30
+    A = _laplacian_1d(n)
+    rng = np.random.default_rng(4)
+    b = rng.normal(size=(1, n, 1))
+    # exact-inverse "preconditioner" converges in one step
+    Ainv = jnp.asarray(np.linalg.inv(A.todense()))
+    op = LinearOperator(gmv=lambda x: jnp.einsum("nk,skm->snm",
+                                                 jnp.asarray(A.todense()), x),
+                        apply=lambda x: jnp.einsum("nk,skm->snm", Ainv, x))
+    res = richardson(op, jnp.asarray(b), tol=1e-12, max_it=10)
+    assert int(res.iterations) <= 2

@@ -1,0 +1,73 @@
+"""Batched SpMV format tests against scipy ground truth."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from hpddm_tpu.core.csr import MatrixCSR
+from hpddm_tpu.core.formats import pack_local_matrices, batched_dense_from
+from hpddm_tpu.ops.spmv import spmm
+
+
+def _random_mats(S, n_range, density, seed, sym=False):
+    rng = np.random.default_rng(seed)
+    mats = []
+    for s in range(S):
+        n = rng.integers(*n_range)
+        m = sp.random(n, n, density=density, random_state=int(rng.integers(1 << 30)),
+                      format="csr")
+        m = m + sp.identity(n)  # ensure nonzero diagonal
+        if sym:
+            full = m + m.T
+            lower = sp.tril(full).tocsr()
+            mats.append(MatrixCSR(lower, sym=True))
+        else:
+            mats.append(MatrixCSR(m))
+    return mats
+
+
+@pytest.mark.parametrize("fmt", ["dia", "ell", "dense"])
+def test_spmm_matches_scipy(fmt):
+    mats = _random_mats(3, (20, 40), 0.1, seed=1)
+    n_max = max(m.n for m in mats)
+    A = pack_local_matrices(mats, fmt=fmt)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, n_max, 2))
+    y = np.asarray(spmm(A, jnp.asarray(x)))
+    for s, m in enumerate(mats):
+        expected = m.scipy() @ x[s, : m.n]
+        np.testing.assert_allclose(y[s, : m.n], expected, atol=1e-12)
+
+
+def test_symmetric_storage_expansion():
+    mats = _random_mats(2, (15, 25), 0.15, seed=3, sym=True)
+    n_max = max(m.n for m in mats)
+    A = pack_local_matrices(mats, fmt="ell")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, n_max, 1))
+    y = np.asarray(spmm(A, jnp.asarray(x)))
+    for s, m in enumerate(mats):
+        expected = m.scipy(expand=True) @ x[s, : m.n]
+        np.testing.assert_allclose(y[s, : m.n], expected, atol=1e-12)
+
+
+def test_dense_materialization_consistency():
+    mats = _random_mats(2, (10, 20), 0.2, seed=5)
+    for fmt in ("dia", "ell", "dense"):
+        A = pack_local_matrices(mats, fmt=fmt)
+        D = np.asarray(batched_dense_from(A))
+        for s, m in enumerate(mats):
+            np.testing.assert_allclose(D[s, : m.n, : m.n], m.dense(),
+                                       atol=1e-12)
+            # padding is identity
+            for i in range(m.n, D.shape[1]):
+                assert D[s, i, i] == 1.0
+
+
+def test_csr_file_roundtrip(tmp_path):
+    mats = _random_mats(1, (12, 13), 0.3, seed=6)
+    path = str(tmp_path / "mat.txt")
+    mats[0].dump(path)
+    back = MatrixCSR.from_file(path)
+    np.testing.assert_allclose(back.dense(), mats[0].dense(), atol=1e-14)
