@@ -1,0 +1,104 @@
+"""FETI / BDD substructuring tests: solutions must match the global direct
+solve (the reference ships no in-tree FETI driver; validation is against
+the assembled operator)."""
+
+import numpy as np
+import scipy.sparse.linalg as spla
+import jax.numpy as jnp
+import pytest
+
+from hpddm_tpu.models import nonoverlap
+from hpddm_tpu.precond.substructure import (Substructure, feti_solve,
+                                            bdd_solve, feti_operator,
+                                            bt_apply, b_apply)
+
+
+def _assemble_check(gen):
+    """sum_s R^T K_s R must equal the global operator."""
+    import scipy.sparse as sp
+    N = gen.A_global.shape[0]
+    acc = sp.csr_matrix((N, N))
+    for s, m in enumerate(gen.mats):
+        R = sp.csr_matrix((np.ones(len(gen.gids[s])),
+                           (gen.gids[s], np.arange(len(gen.gids[s])))),
+                          shape=(N, len(gen.gids[s])))
+        acc = acc + R @ m.scipy() @ R.T
+    assert abs(acc - gen.A_global).max() < 1e-12
+
+
+def _pack_f(gen, sub):
+    S = len(gen.mats)
+    f = np.zeros((S, sub.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s], 0] = gen.f[s]
+    return jnp.asarray(f)
+
+
+def _check_solution(gen, u, atol=1e-6):
+    """Average duplicated dofs, compare against the direct solve."""
+    N = gen.A_global.shape[0]
+    x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
+    acc = np.zeros(N)
+    cnt = np.zeros(N)
+    u_np = np.asarray(u)
+    for s in range(len(gen.mats)):
+        acc[gen.gids[s]] += u_np[s, : gen.n_loc[s], 0]
+        cnt[gen.gids[s]] += 1
+    x = acc / cnt
+    err = np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct)
+    assert err < atol, f"relative error {err}"
+    # continuity across copies
+    for s in range(len(gen.mats)):
+        np.testing.assert_allclose(u_np[s, : gen.n_loc[s], 0],
+                                   x_direct[gen.gids[s]], atol=100 * atol,
+                                   rtol=0.1)
+
+
+@pytest.mark.parametrize("S,Nx,Ny", [(4, 20, 20), (2, 16, 24)])
+def test_splitting_and_feti(S, Nx, Ny):
+    gen = nonoverlap.generate(S, Nx, Ny)
+    _assemble_check(gen)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    st = sub.state
+    f = _pack_f(gen, sub)
+    res = feti_solve(st, f, tol=1e-10, max_it=200)
+    assert int(res.iterations) < 60
+    _check_solution(gen, res.u, atol=1e-6)
+
+
+def test_feti_floating_subdomain():
+    """3x3 boxes: the center subdomain is floating (nontrivial kernel)."""
+    gen = nonoverlap.generate(9, 24, 24)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    st = sub.state
+    assert int(np.asarray(st.r_loc).max()) >= 1  # at least one floating
+    f = _pack_f(gen, sub)
+    res = feti_solve(st, f, tol=1e-10, max_it=300)
+    _check_solution(gen, res.u, atol=1e-5)
+
+
+def test_feti_operator_symmetry():
+    """F = B K^+ B^T must be symmetric PSD on the multiplier space."""
+    gen = nonoverlap.generate(4, 12, 12)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    st = sub.state
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(st.N_l, 1)))
+    y = jnp.asarray(rng.normal(size=(st.N_l, 1)))
+    Fx = feti_operator(st, x)
+    Fy = feti_operator(st, y)
+    lhs = float(jnp.sum(y * Fx))
+    rhs = float(jnp.sum(x * Fy))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+    assert float(jnp.sum(x * Fx)) >= -1e-10
+
+
+@pytest.mark.parametrize("S,Nx,Ny", [(4, 20, 20), (9, 24, 24)])
+def test_bdd(S, Nx, Ny):
+    gen = nonoverlap.generate(S, Nx, Ny)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    st = sub.state
+    f = _pack_f(gen, sub)
+    res = bdd_solve(st, f, tol=1e-10, max_it=300)
+    assert int(res.iterations) < 80
+    _check_solution(gen, res.u, atol=1e-5)
