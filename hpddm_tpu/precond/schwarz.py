@@ -262,10 +262,20 @@ class Schwarz:
         return nu_loc
 
     def build(self, dtype=None) -> SchwarzState:
-        """Factorize local solvers (+ coarse operator) and return the state."""
+        """Factorize local solvers (+ coarse operator) and return the state
+        (``callNumfact``, HPDDM_schwarz.hpp:337-368)."""
         opt = self.opt
         variant = opt.val("schwarz_method")
         local_kind = opt.val("local_solver")
+        reuse = self._state is not None and int(opt.val(
+            "reuse_preconditioner", 0))
+        if reuse:
+            # -hpddm_reuse_preconditioner: keep the existing factorization
+            # and coarse operator (HPDDM_schwarz.hpp:364-366)
+            state = dataclasses.replace(self._state, A=self.A,
+                                        variant=variant)
+            self._state = state
+            return state
         A_dense = batched_dense_from(self.A)
         if dtype is not None:
             A_dense = A_dense.astype(dtype)
@@ -280,6 +290,35 @@ class Schwarz:
                              coarse=coarse, variant=variant)
         self._state = state
         return state
+
+    def update_matrices(self, mats: Sequence[MatrixCSR], fmt: str = "auto"):
+        """Replace the local matrices for a subsequent solve (combined with
+        -hpddm_reuse_preconditioner=1 this skips refactorization)."""
+        self.mats = list(mats)
+        self.A = pack_local_matrices(mats, n_max=self.n_max, fmt=fmt)
+
+    def statistics(self) -> str:
+        """Global decomposition statistics (Subdomain::statistics,
+        HPDDM_subdomain.hpp:405-454)."""
+        import numpy as _np
+        n_loc = _np.asarray(self.dec.n_loc)
+        d = _np.asarray(self.dec.d)
+        nnz = _np.array([m.nnz for m in self.mats])
+        nbrs = _np.asarray(self.dec.if_mask).sum(axis=1)
+        owned = (d > 1e-12).sum(axis=1)
+        lines = [
+            f" --- {self.dec.S} subdomains, global unknowns "
+            f"(unique) = {self.dec.n_global}",
+            f"     local dofs: min {n_loc.min()} / avg "
+            f"{n_loc.mean():.1f} / max {n_loc.max()}",
+            f"     local nnz:  min {nnz.min()} / avg {nnz.mean():.1f} "
+            f"/ max {nnz.max()}",
+            f"     interface dofs per subdomain: min {nbrs.min()} / max "
+            f"{nbrs.max()}",
+            f"     owned (POU > 0) dofs: min {owned.min()} / max "
+            f"{owned.max()}",
+        ]
+        return "\n".join(lines)
 
     # -- coarse operator ---------------------------------------------------
     def _build_coarse(self, correction: str, dtype) -> CoarseState:

@@ -52,6 +52,26 @@ def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
         if x0 is not None and x0.ndim == 2:
             x0 = x0[:, :, None]
 
+    # enlarged Krylov: split one RHS into k slices solved as a block
+    # (HPDDM_iterative.hpp:735-853)
+    enlarge = opt.val("enlarge_krylov_subspace")
+    if enlarge and int(enlarge) > 1 and b.shape[-1] == 1 and \
+            method in ("gmres", "bgmres", "cg", "bcg", "bfbcg"):
+        from hpddm_tpu.precond import schwarz as _schwarz
+        from hpddm_tpu.solvers.enlarged import preprocess, postprocess
+        if isinstance(A, _schwarz.SchwarzState):
+            k = int(enlarge)
+            slices = preprocess(A.dec, b, k, axis_name)
+            inner = opt.copy()
+            inner.remove("enlarge_krylov_subspace")
+            if method in ("gmres", "cg"):
+                inner["krylov_method"] = {"gmres": "bgmres", "cg": "bcg"}[method]
+            res = solve(A, slices, None, inner, axis_name)
+            x = postprocess(res.x)
+            return res._replace(x=x, it_per_rhs=res.it_per_rhs[:1],
+                                rel_res=res.rel_res[:1],
+                                converged=res.converged.all()[None])
+
     if method == "gmres":
         return gmres(op, b, x0, tol=tol,
                      restart=int(opt.val("gmres_restart")),

@@ -1,0 +1,73 @@
+"""Algebraic (from-file) decomposition tests on the reference's mini.mtx
+(Makefile:359-371: np in {2,4} x overlap in {1,3}) and on synthetic
+matrices."""
+
+import os
+import subprocess
+import tarfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from hpddm_tpu.core.csr import MatrixCSR
+from hpddm_tpu.models import fromfile
+from hpddm_tpu.options import Options
+from hpddm_tpu.precond.schwarz import Schwarz, compute_residual, gmv
+from hpddm_tpu.solvers.krylov import solve
+
+MINI_TGZ = "/root/reference/examples/data/mini.tar.gz"
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    if not os.path.exists(MINI_TGZ):
+        pytest.skip("mini.tar.gz not available")
+    d = tmp_path_factory.mktemp("mini")
+    with tarfile.open(MINI_TGZ) as t:
+        t.extractall(d)
+    return MatrixCSR.from_file(str(d / "mini.mtx"))
+
+
+def test_gmv_exactness_fromfile(mini):
+    """GMV on the algebraic decomposition must equal the assembled matrix."""
+    S = 4
+    gen = fromfile.decompose(mini, S, overlap=2)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d)
+    state = sch.build()
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=mini.n)
+    x = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        x[s, : gen.n_loc[s], 0] = g[gen.gids[s]]
+    y = np.asarray(gmv(state, jnp.asarray(x)))
+    ref = gen.A_global @ g
+    for s in range(S):
+        np.testing.assert_allclose(y[s, : gen.n_loc[s], 0],
+                                   ref[gen.gids[s]], atol=1e-10)
+
+
+@pytest.mark.parametrize("S,overlap", [(2, 1), (4, 1), (2, 3), (4, 3)])
+def test_mini_solve(mini, S, overlap):
+    """The make-test schwarzFromFile sweep: converge on mini.mtx."""
+    gen = fromfile.decompose(mini, S, overlap=overlap)
+    opt = Options(tol=1e-6, max_it=200)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+    state = sch.build()
+    res = solve(state, f, opt=opt)
+    nb, nr = compute_residual(state, res.x, f)
+    assert float(nr[0] / nb[0]) <= 1e-2
+    assert bool(np.asarray(res.converged).all())
+
+
+def test_partitioner_balance():
+    A = MatrixCSR(sp.diags([np.ones(199), 2 * np.ones(200), np.ones(199)],
+                           [-1, 0, 1]).tocsr())
+    owner = fromfile.partition_kway(A.scipy(), 4)
+    counts = np.bincount(owner, minlength=4)
+    assert counts.min() >= 40  # roughly balanced
