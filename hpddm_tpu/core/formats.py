@@ -129,6 +129,7 @@ def pack_local_matrices(mats: Sequence[MatrixCSR], n_max: Optional[int] = None,
                           n_max=int(n_max))
 
     if fmt == "ell":
+        from hpddm_tpu.native import ell_pack as _native_ell_pack
         width = 1
         rows_list = []
         for m in mats:
@@ -139,11 +140,11 @@ def pack_local_matrices(mats: Sequence[MatrixCSR], n_max: Optional[int] = None,
         vals = np.zeros((S, n_max, width), dtype=dtype)
         cols = np.zeros((S, n_max, width), dtype=np.int32)
         for s, csr in enumerate(rows_list):
-            counts = np.diff(csr.indptr)
-            for i in range(csr.shape[0]):
-                lo, hi = csr.indptr[i], csr.indptr[i + 1]
-                vals[s, i, : hi - lo] = csr.data[lo:hi]
-                cols[s, i, : hi - lo] = csr.indices[lo:hi]
+            if np.issubdtype(csr.dtype, np.floating):
+                csr = csr.astype(np.float64)
+            v, c = _native_ell_pack(csr, n_max, width)
+            vals[s] = v.astype(dtype)
+            cols[s] = c
             if pad_identity:
                 n = csr.shape[0]
                 vals[s, n:, 0] = 1.0

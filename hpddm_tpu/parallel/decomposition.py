@@ -30,25 +30,6 @@ from hpddm_tpu.core.csr import MatrixCSR
 from hpddm_tpu.core.formats import pack_local_matrices
 
 
-class _UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, i: int) -> int:
-        p = self.parent
-        root = i
-        while p[root] != root:
-            root = p[root]
-        while p[i] != root:
-            p[i], i = root, p[i]
-        return root
-
-    def union(self, i: int, j: int) -> None:
-        ri, rj = self.find(i), self.find(j)
-        if ri != rj:
-            self.parent[max(ri, rj)] = min(ri, rj)
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Decomposition:
@@ -110,7 +91,7 @@ class Decomposition:
 
         offsets = np.concatenate([[0], np.cumsum(n_loc)])
         total = int(offsets[-1])
-        uf = _UnionFind(total)
+        pairs_a, pairs_b = [], []
         for s in range(S):
             for q, idx in zip(neighbors[s], mappings[s]):
                 if q < s:
@@ -125,12 +106,14 @@ class Decomposition:
                     raise ValueError(
                         f"mapping length mismatch between {s} and {q}: "
                         f"{len(idx)} vs {len(idx_q)}")
-                a = offsets[s] + np.asarray(idx, dtype=np.int64)
-                b = offsets[q] + np.asarray(idx_q, dtype=np.int64)
-                for i, j in zip(a, b):
-                    uf.union(int(i), int(j))
+                pairs_a.append(offsets[s] + np.asarray(idx, dtype=np.int64))
+                pairs_b.append(offsets[q] + np.asarray(idx_q, dtype=np.int64))
 
-        roots = np.array([uf.find(i) for i in range(total)], dtype=np.int64)
+        from hpddm_tpu.native import uf_resolve
+        roots = uf_resolve(
+            total,
+            np.concatenate(pairs_a) if pairs_a else np.zeros(0, np.int64),
+            np.concatenate(pairs_b) if pairs_b else np.zeros(0, np.int64))
         # interface dofs: classes with more than one member
         unique_roots, counts = np.unique(roots, return_counts=True)
         class_size = dict(zip(unique_roots.tolist(), counts.tolist()))
