@@ -56,7 +56,7 @@ def main():
     gen2 = diffusion2d.generate(S2, Nx2, Ny2, overlap=1, dtype=dtype)
     sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
                    options=Options())
-    state2 = sch2.build()
+    state2 = sch2.operator_state()   # no factorization: pure GMV path
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(S2, sch2.n_max, 1)).astype(dtype))
     gmv_jit = jax.jit(lambda v: gmv(state2, v))

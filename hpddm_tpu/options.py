@@ -249,13 +249,15 @@ class Options:
             app_specs[name] = spec
             m = re.search(r"=<([^>]*)>", spec)
             if m and m.group(1):
+                # numeric <...> contents are defaults; non-numeric ones are
+                # placeholders like <input_file> (Arg::argument) — no default
                 try:
                     opt._app[name] = int(m.group(1))
                 except ValueError:
                     try:
                         opt._app[name] = float(m.group(1))
                     except ValueError:
-                        opt._app[name] = m.group(1)
+                        pass
         tokens: List[str] = list(args)
         i = 0
         while i < len(tokens):

@@ -45,13 +45,27 @@ from hpddm_tpu.parallel.ops import exchange, psum_if, scaled_exchange
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CoarseState:
-    """Two-level (GenEO or user) coarse-space state, replicated coarse solve."""
+    """Two-level (GenEO or user) coarse-space state, replicated coarse solve.
+
+    mode 'direct': E_inv holds the dense inverse (the analogue of a main-
+    process direct factorization, HPDDM_coarse_operator_impl.hpp:1630).
+    mode 'iterative': E is kept and each coarse solve runs a nested
+    block-Jacobi-preconditioned Krylov iteration with its own level-2
+    options — the HPDDM_INEXACT_COARSE_OPERATOR analogue
+    (include/HPDDM_inexact_coarse_operator.hpp:741-778)."""
     Z: jax.Array                  # (S, n_max, nu_max) local deflation vectors
-    E_inv: jax.Array              # (N_c, N_c) inverse of the coarse matrix
+    E_inv: jax.Array              # (N_c, N_c) inverse (direct) or
+    #                               block-Jacobi inverse (iterative)
     nu_loc: jax.Array             # (S,) int32 — actual nu per subdomain
+    E: Optional[jax.Array]        # (N_c, N_c) coarse matrix (iterative only)
     nu_max: int = dataclasses.field(metadata=dict(static=True))
     correction: str = dataclasses.field(metadata=dict(static=True))
     # 'deflated' | 'additive' | 'balanced' (HPDDM_SCHWARZ_COARSE_CORRECTION_*)
+    mode: str = dataclasses.field(default="direct", metadata=dict(static=True))
+    inner_tol: float = dataclasses.field(default=1.0e-2,
+                                         metadata=dict(static=True))
+    inner_max_it: int = dataclasses.field(default=50,
+                                          metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -122,7 +136,7 @@ def deflation(state: SchwarzState, x: jax.Array,
         # all_gather over the mesh axis -> full coarse RHS on every device
         c = jax.lax.all_gather(c_loc, axis_name, axis=0, tiled=True)
         c = c.reshape(-1, mu)
-    y = (co.E_inv @ c.astype(co.E_inv.dtype)).astype(x.dtype)  # (N_c, mu)
+    y = _coarse_solve(co, c).astype(x.dtype)                 # (N_c, mu)
     y = y.reshape(-1, co.nu_max, mu)                         # (S, nu, mu)
     if axis_name is None:
         y_loc = y
@@ -131,6 +145,51 @@ def deflation(state: SchwarzState, x: jax.Array,
         y_loc = jax.lax.dynamic_slice_in_dim(y, idx * S_loc, S_loc, axis=0)
     out = jnp.einsum("sna,sam->snm", co.Z, y_loc)            # Z y
     return scaled_exchange(dec, out, axis_name)
+
+
+def _coarse_solve(co: CoarseState, c: jax.Array) -> jax.Array:
+    """Solve E y = c on the replicated coarse problem.
+
+    direct: one small matmul with the prefactorized inverse. iterative:
+    nested block-Jacobi-preconditioned CG at (inner_tol, inner_max_it) —
+    the recursion that replaces InexactCoarseOperator::solve."""
+    cd = c.astype(co.E_inv.dtype)
+    if co.mode == "direct":
+        return co.E_inv @ cd
+
+    E = co.E
+    Minv = co.E_inv                                          # block-Jacobi
+
+    def prec(r):
+        return Minv @ r
+
+    r0 = cd
+    z0 = prec(r0)
+    norm = jnp.sqrt(jnp.sum(jnp.abs(cd) ** 2, axis=0))
+    norm = jnp.where(norm > 0, norm, 1.0)
+
+    def cond(carry):
+        y, r, p, rz, it = carry
+        res = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0)) / norm
+        return (it < co.inner_max_it) & jnp.any(res > co.inner_tol)
+
+    def body(carry):
+        y, r, p, rz, it = carry
+        Ep = E @ p
+        pq = jnp.sum(jnp.conj(p) * Ep, axis=0)
+        alpha = rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
+        y = y + alpha[None, :] * p
+        r = r - alpha[None, :] * Ep
+        z = prec(r)
+        rz_new = jnp.sum(jnp.conj(r) * z, axis=0)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+        p = z + beta[None, :] * p
+        return (y, r, p, rz_new, it + 1)
+
+    y0 = jnp.zeros_like(cd)
+    rz0 = jnp.sum(jnp.conj(r0) * z0, axis=0)
+    y, *_ = jax.lax.while_loop(cond, body, (y0, r0, z0, rz0, jnp.int32(0)))
+    return y
 
 
 def apply(state: SchwarzState, x: jax.Array,
@@ -205,7 +264,12 @@ class Schwarz:
                  mappings: Sequence[Sequence[np.ndarray]],
                  d: Optional[Sequence[np.ndarray]] = None,
                  options: Optional[Options] = None,
-                 fmt: str = "auto"):
+                 fmt: str = "auto",
+                 optimized_mats: Optional[Sequence[MatrixCSR]] = None):
+        """optimized_mats: user-supplied local matrices factorized instead
+        of the plain restrictions for the ORAS/SORAS/OSM variants (e.g.
+        Robin interface conditions for Helmholtz) — the user-matrix branch
+        of ``callNumfact`` (HPDDM_schwarz.hpp:337-368)."""
         self.opt = options if options is not None else Options()
         n_loc = [m.n for m in mats]
         self.dec = Decomposition.from_subdomains(neighbors, mappings, n_loc,
@@ -213,6 +277,7 @@ class Schwarz:
         self.mats = list(mats)
         self.A = pack_local_matrices(mats, n_max=self.dec.n_max, fmt=fmt)
         self.n_max = self.dec.n_max
+        self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
 
@@ -259,6 +324,18 @@ class Schwarz:
             for s in range(S)]
         # HPDDM writes the attained count back into the option map
         self.opt["geneo_nu"] = int(nu_loc.max(initial=1))
+        dump = opt.val("dump_eigenvectors")
+        if dump:
+            # Eigensolver::dump analogue: eigenvalues + vectors, text
+            for s in range(S):
+                with open(f"{dump}_{s}.txt", "w") as fh:
+                    fh.write("# GenEO eigenpairs (lambda then vector "
+                             "columns)\n")
+                    fh.write(" ".join(f"{v:.15e}"
+                                      for v in lam_np[s, : int(nu_loc[s])])
+                             + "\n")
+                    np.savetxt(fh, V_np[s, : self.mats[s].n,
+                                        : int(nu_loc[s])])
         return nu_loc
 
     def build(self, dtype=None) -> SchwarzState:
@@ -276,20 +353,36 @@ class Schwarz:
                                         variant=variant)
             self._state = state
             return state
-        A_dense = batched_dense_from(self.A)
+        if self.optimized_mats is not None and \
+                variant in ("oras", "soras", "osm"):
+            A_fact = batched_dense_from(pack_local_matrices(
+                self.optimized_mats, n_max=self.n_max, fmt="dense"))
+        else:
+            A_fact = batched_dense_from(self.A)
         if dtype is not None:
-            A_dense = A_dense.astype(dtype)
-        solver = factorize(A_dense, kind=local_kind)
+            A_fact = A_fact.astype(dtype)
+        solver = factorize(A_fact, kind=local_kind)
 
         coarse = None
         correction = opt.val("schwarz_coarse_correction")
         if correction is not None:
-            coarse = self._build_coarse(correction, A_dense.dtype)
+            coarse = self._build_coarse(correction, A_fact.dtype)
 
         state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
                              coarse=coarse, variant=variant)
         self._state = state
+        dump = opt.val("dump_matrices")
+        if dump:
+            # one file per subdomain, reference text format
+            for s, m in enumerate(self.mats):
+                m.dump(f"{dump}_{s}.txt")
         return state
+
+    def operator_state(self) -> SchwarzState:
+        """State without any factorization: supports gmv/compute_residual
+        only (for SpMV benchmarking and matrix-free pipelines)."""
+        return SchwarzState(dec=self.dec, A=self.A, solver=None,
+                            coarse=None, variant="none")
 
     def update_matrices(self, mats: Sequence[MatrixCSR], fmt: str = "auto"):
         """Replace the local matrices for a subsequent solve (combined with
@@ -341,12 +434,33 @@ class Schwarz:
             Z[s, : v.shape[0], : v.shape[1]] = v
         Z = jnp.asarray(Z, dtype=dtype)
 
-        E_inv = self._assemble_and_invert_E(Z, nu_loc, nu_max, dtype)
-        return CoarseState(Z=Z, E_inv=E_inv,
+        E = self._assemble_E(Z, nu_loc, nu_max, dtype)
+        lvl = self.opt.level(2)
+        dump = lvl.val("dump_matrix")
+        if dump:
+            # -hpddm_level_2_dump_matrix: reference text dump of E
+            import scipy.sparse as _sp
+            MatrixCSR(_sp.csr_matrix(np.asarray(E))).dump(str(dump))
+        if "krylov_method" in lvl or self.opt.set("level_2_tol"):
+            # inexact coarse solves: nested Krylov with level-2 options
+            N_c = E.shape[0]
+            S = self.dec.S
+            blocks = E.reshape(S, nu_max, S, nu_max)
+            diag_blocks = jnp.stack([blocks[s, :, s, :] for s in range(S)])
+            binv = jnp.linalg.inv(diag_blocks)
+            Minv = jax.scipy.linalg.block_diag(
+                *[binv[s] for s in range(S)])
+            return CoarseState(Z=Z, E_inv=Minv, E=E,
+                               nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
+                               correction=correction, mode="iterative",
+                               inner_tol=float(lvl.val("tol", 1e-2)),
+                               inner_max_it=int(lvl.val("max_it", 50)))
+        E_inv = jnp.linalg.inv(E)
+        return CoarseState(Z=Z, E_inv=E_inv, E=None,
                            nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
                            correction=correction)
 
-    def _assemble_and_invert_E(self, Z, nu_loc, nu_max, dtype):
+    def _assemble_E(self, Z, nu_loc, nu_max, dtype):
         """E[(s,a),(q,b)] = (R_s^T D_s Z_s^a)^T A (R_q^T D_q Z_q^b).
 
         Batched on device: X = exchange(D Z-as-global-columns) gives every
@@ -377,5 +491,4 @@ class Schwarz:
         coarse_dtype = self.opt.val("coarse_dtype")
         if coarse_dtype not in (None, "same"):
             E = E.astype(coarse_dtype)
-        E_inv = jnp.linalg.inv(E)
-        return E_inv
+        return E

@@ -350,7 +350,7 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
         # Givens rotations for residual tracking
         def rot(j, hc):
             hj, hj1 = hc[j], hc[j + 1]
-            nj = cs[j] * hj + sn[j] * hj1
+            nj = jnp.conj(cs[j]) * hj + jnp.conj(sn[j]) * hj1
             nj1 = -sn[j] * hj + cs[j] * hj1
             app = j < i
             return hc.at[j].set(jnp.where(app, nj, hj)) \
@@ -364,7 +364,7 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
         cs = cs.at[i].set(c_new)
         sn = sn.at[i].set(s_new)
         si = s_vec[i]
-        s_vec = s_vec.at[i + 1].set(-s_new * si).at[i].set(c_new * si)
+        s_vec = s_vec.at[i + 1].set(-s_new * si).at[i].set(jnp.conj(c_new) * si)
         res = jnp.abs(s_vec[i + 1])
         glob_it = (it0 + i).astype(jnp.int32)
         hit = (res <= tol * norm) & (crossing == 0) & (glob_it <= max_it)

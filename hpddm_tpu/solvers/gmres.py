@@ -39,7 +39,9 @@ class KrylovResult(NamedTuple):
 
 
 def _givens(a, b):
-    """Stable Givens rotation coefficients (c, s, r) s.t. [c s; -s c][a;b]=[r;0]."""
+    """Givens rotation (c, s, r): with G = [[conj(c), conj(s)], [-s, c]],
+    G [a; b] = [r; 0] and r = sqrt(|a|^2 + |b|^2) real. Valid for complex
+    scalars (conj applications live at the call sites)."""
     denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)
     safe = jnp.where(denom > 0, denom, 1.0)
     c = jnp.where(denom > 0, a / safe, 1.0)
@@ -172,7 +174,7 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             # --- apply previous Givens rotations to the new column ----
             def rot_body(j, hcol):
                 hj, hj1 = hcol[j], hcol[j + 1]
-                new_j = st.cs[j] * hj + st.sn[j] * hj1
+                new_j = jnp.conj(st.cs[j]) * hj + jnp.conj(st.sn[j]) * hj1
                 new_j1 = -st.sn[j] * hj + st.cs[j] * hj1
                 apply_it = j < st.i
                 return hcol.at[j].set(jnp.where(apply_it, new_j, hj)) \
@@ -187,7 +189,7 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             sn_new = st.sn.at[st.i].set(s_.astype(dtype))
             si = st.svec[st.i]
             svec_new = st.svec.at[st.i + 1].set((-s_ * si).astype(dtype)) \
-                               .at[st.i].set((c * si).astype(dtype))
+                               .at[st.i].set((jnp.conj(c) * si).astype(dtype))
             H_new = st.H.at[st.i].set(h)
 
             res = jnp.abs(svec_new[st.i + 1])

@@ -1,0 +1,31 @@
+"""Deflated-restarting gain oracle: where plain restarted GMRES stagnates,
+GCRO-DR must converge (the contract of GCRODR deflation; cf. the
+reference's driver.cpp iteration-window regression)."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from hpddm_tpu.solvers.base import LinearOperator
+from hpddm_tpu.solvers.gcrodr import gcrodr
+from hpddm_tpu.solvers.gmres import gmres
+
+
+def test_gcrodr_beats_stagnating_restarted_gmres():
+    n = 100
+    A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    Ad = jnp.asarray(A.todense())
+    op = LinearOperator(gmv=lambda x: jnp.einsum("nk,skm->snm", Ad, x))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(1, n, 1)))
+    rg = gmres(op, b, tol=1e-8, restart=10, max_it=2000)
+    rr = gcrodr(op, b, tol=1e-8, restart=10, max_it=2000, recycle=5)
+    rr2 = gcrodr(op, b, tol=1e-8, restart=10, max_it=2000, recycle=5,
+                 recycled=rr.recycled, same_system=True)
+    assert int(rg.iterations) >= 1500          # restarted GMRES stagnates
+    assert int(rr.iterations) < 500            # deflation restores progress
+    assert int(rr2.iterations) < int(rr.iterations)  # warm recycling helps
+    x = np.asarray(rr2.x)[0, :, 0]
+    r = np.asarray(b)[0, :, 0] - A @ x
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7
