@@ -52,7 +52,7 @@ def main():
     its = int(res.iterations)
 
     # --- SpMV throughput (local SpMM + halo), larger batch ---------------
-    S2, Nx2, Ny2 = 16, 512, 512
+    S2, Nx2, Ny2 = 16, 2048, 2048
     gen2 = diffusion2d.generate(S2, Nx2, Ny2, overlap=1, dtype=dtype)
     sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
                    options=Options())

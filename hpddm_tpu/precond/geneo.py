@@ -59,6 +59,14 @@ def solve_gevp_dense(A_neu: jax.Array, B: jax.Array, nu_max: int,
     Returns (eigenvalues (S, nu_max) ascending, vectors (S, n, nu_max)).
     """
     S, n, _ = A_neu.shape
+    if A_neu.dtype in (jnp.float32.dtype, jnp.bfloat16.dtype):
+        # sub-f64 on-device GEVP loses the small pencil eigenvalues that
+        # GenEO needs; compute the setup-time eigensolve in host f64
+        lam, V = _solve_gevp_dense_np(np.asarray(A_neu, dtype=np.float64),
+                                      np.asarray(B, dtype=np.float64),
+                                      nu_max, reg)
+        return (jnp.asarray(lam, dtype=A_neu.dtype),
+                jnp.asarray(V, dtype=A_neu.dtype))
     A_sym = 0.5 * (A_neu + jnp.swapaxes(A_neu, 1, 2))
     B_sym = 0.5 * (B + jnp.swapaxes(B, 1, 2))
     scale = jnp.mean(jnp.abs(jnp.diagonal(A_sym, axis1=1, axis2=2)), axis=1)
@@ -82,6 +90,34 @@ def solve_gevp_dense(A_neu: jax.Array, B: jax.Array, nu_max: int,
 
     lam, V = jax.vmap(one)(A_sym, B_sym, scale)
     return lam, V
+
+
+def _solve_gevp_dense_np(A_neu: np.ndarray, B: np.ndarray, nu_max: int,
+                         reg: float):
+    """Host-f64 twin of solve_gevp_dense (numpy, looped over subdomains)."""
+    S, n, _ = A_neu.shape
+    lam_out = np.empty((S, nu_max))
+    V_out = np.empty((S, n, nu_max))
+    for s in range(S):
+        As = 0.5 * (A_neu[s] + A_neu[s].T)
+        Bs = 0.5 * (B[s] + B[s].T)
+        scale = np.mean(np.abs(np.diag(As)))
+        w, U = np.linalg.eigh(As)
+        floor = max(reg * scale, 10 * np.finfo(w.dtype).tiny)
+        w_safe = np.maximum(w, floor)
+        inv_sqrt = U * (1.0 / np.sqrt(w_safe))[None, :]
+        C = inv_sqrt.T @ Bs @ inv_sqrt
+        C = 0.5 * (C + C.T)
+        mu, Y = np.linalg.eigh(C)
+        mu_top = mu[::-1][:nu_max]
+        Y_top = Y[:, ::-1][:, :nu_max]
+        V = inv_sqrt @ Y_top
+        nrm = np.linalg.norm(V, axis=0, keepdims=True)
+        V = V / np.where(nrm > 0, nrm, 1.0)
+        lam_out[s] = np.where(mu_top > 1e3 * np.finfo(mu.dtype).eps,
+                              1.0 / mu_top, np.inf)
+        V_out[s] = V
+    return lam_out, V_out
 
 
 def select_nu(eigenvalues: np.ndarray, nu_req: np.ndarray,

@@ -441,13 +441,21 @@ class Schwarz:
             # -hpddm_level_2_dump_matrix: reference text dump of E
             import scipy.sparse as _sp
             MatrixCSR(_sp.csr_matrix(np.asarray(E))).dump(str(dump))
+        def _inv(M):
+            # E is tiny; invert in host f64 for sub-f64 dtypes
+            if M.dtype in (jnp.float32.dtype, jnp.bfloat16.dtype):
+                return jnp.asarray(
+                    np.linalg.inv(np.asarray(M, dtype=np.float64)),
+                    dtype=M.dtype)
+            return jnp.linalg.inv(M)
+
         if "krylov_method" in lvl or self.opt.set("level_2_tol"):
             # inexact coarse solves: nested Krylov with level-2 options
             N_c = E.shape[0]
             S = self.dec.S
             blocks = E.reshape(S, nu_max, S, nu_max)
             diag_blocks = jnp.stack([blocks[s, :, s, :] for s in range(S)])
-            binv = jnp.linalg.inv(diag_blocks)
+            binv = _inv(diag_blocks)
             Minv = jax.scipy.linalg.block_diag(
                 *[binv[s] for s in range(S)])
             return CoarseState(Z=Z, E_inv=Minv, E=E,
@@ -455,7 +463,7 @@ class Schwarz:
                                correction=correction, mode="iterative",
                                inner_tol=float(lvl.val("tol", 1e-2)),
                                inner_max_it=int(lvl.val("max_it", 50)))
-        E_inv = jnp.linalg.inv(E)
+        E_inv = _inv(E)
         return CoarseState(Z=Z, E_inv=E_inv, E=None,
                            nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
                            correction=correction)

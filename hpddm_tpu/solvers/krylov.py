@@ -106,12 +106,16 @@ def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
                       target=opt.val("recycle_target"),
                       block=(method == "bgcrodr"))
     if method == "none":
-        # unpreconditioned fixed-point on A x = b is not meaningful; the
-        # reference maps "none" to plain GMRES without preconditioner.
-        op_no = LinearOperator(gmv=op.gmv, apply=None, weight=op.weight,
-                               axis_name=axis_name)
-        return gmres(op_no, b, x0, tol=tol,
-                     restart=int(opt.val("gmres_restart")),
-                     max_it=max_it, variant=variant,
-                     ortho=opt.val("orthogonalization"))
+        # x = M^-1 b, one application, it = 1
+        # (HPDDM_KRYLOV_METHOD_NONE, HPDDM_iterative.hpp:1056-1070)
+        x = op.apply(b)
+        rdtype = jnp.zeros(0, b.dtype).real.dtype
+        mu = b.shape[-1]
+        nb = jnp.sqrt(op.norm_sq(b))
+        r = b - op.gmv(x)
+        rel = (jnp.sqrt(op.norm_sq(r))
+               / jnp.where(nb > 0, nb, 1.0)).astype(rdtype)
+        return KrylovResult(x=x, iterations=jnp.int32(1),
+                            it_per_rhs=jnp.ones((mu,), jnp.int32),
+                            rel_res=rel, converged=jnp.ones((mu,), bool))
     raise ValueError(f"unknown krylov_method {method!r}")
