@@ -26,7 +26,6 @@ def main(argv=None):
     import jax.numpy as jnp
     from hpddm_tpu.models import diffusion2d
     from hpddm_tpu.options import Options
-    from hpddm_tpu.parallel.ops import scaled_exchange
     from hpddm_tpu.precond.schwarz import Schwarz, compute_residual
     from hpddm_tpu.solvers.krylov import solve
 
@@ -59,7 +58,7 @@ def main(argv=None):
         f[s, : gen.n_loc[s]] = gen.f[s]
     f = jnp.asarray(f)
     if mu != 0:
-        f = scaled_exchange(sch.dec, f)
+        f = sch.exchange_rhs(f)
 
     if two_level:
         nu = int(opt.val("geneo_nu"))

@@ -42,8 +42,12 @@ class NonOverlapGenerated:
 
 
 def generate(size_world: int, Nx: int = 30, Ny: int = 30,
+             contrast: float = 1.0, checker: int = 4,
              dtype=np.float64) -> NonOverlapGenerated:
-    """Edge-partitioned 2D Dirichlet Laplacian over size_world boxes."""
+    """Edge-partitioned 2D Dirichlet diffusion over size_world boxes.
+
+    contrast > 1 gives a checkerboard coefficient field (the heterogeneous
+    regime GenEO coarse spaces are built for)."""
     x_grid = int(np.sqrt(size_world))
     while size_world % x_grid != 0:
         x_grid -= 1
@@ -54,19 +58,24 @@ def generate(size_world: int, Nx: int = 30, Ny: int = 30,
         by = min(j * y_grid // Ny, y_grid - 1)
         return by * x_grid + bx
 
+    def coeff(i, j):
+        if contrast == 1.0:
+            return 1.0
+        hard = ((i * checker // Nx) + (j * checker // Ny)) % 2 == 0
+        return contrast if hard else 1.0
+
     N = Nx * Ny
     gid = lambda i, j: j * Nx + i  # noqa: E731
-    w = 1.0
 
     # per-subdomain COO triplets over global ids, then compress
     tri: List[Dict[str, list]] = [dict(r=[], c=[], v=[]) for _ in range(size_world)]
 
-    def add_edge(s, u, v):
+    def add_edge(s, u, v, w):
         tri[s]["r"] += [u, v, u, v]
         tri[s]["c"] += [u, v, v, u]
         tri[s]["v"] += [w, w, -w, -w]
 
-    def add_diag(s, u):
+    def add_diag(s, u, w):
         tri[s]["r"].append(u)
         tri[s]["c"].append(u)
         tri[s]["v"].append(w)
@@ -75,20 +84,21 @@ def generate(size_world: int, Nx: int = 30, Ny: int = 30,
         for i in range(Nx):
             u = gid(i, j)
             s_u = box_of(i, j)
+            w = coeff(i, j)
             # right edge
             if i + 1 < Nx:
-                add_edge(s_u, u, gid(i + 1, j))
+                add_edge(s_u, u, gid(i + 1, j), w)
             else:
-                add_diag(s_u, u)
+                add_diag(s_u, u, w)
             if i == 0:
-                add_diag(s_u, u)
+                add_diag(s_u, u, w)
             # up edge
             if j + 1 < Ny:
-                add_edge(s_u, u, gid(i, j + 1))
+                add_edge(s_u, u, gid(i, j + 1), w)
             else:
-                add_diag(s_u, u)
+                add_diag(s_u, u, w)
             if j == 0:
-                add_diag(s_u, u)
+                add_diag(s_u, u, w)
 
     # global operator for validation
     rows = np.concatenate([t["r"] for t in tri])

@@ -53,11 +53,27 @@ class Decomposition:
     if_mask: jax.Array
     ov_mask: jax.Array
     mult: jax.Array
+    # scatter-free exchange tables (TPU scatters serialize; gathers don't):
+    # partners[s, k, :] = flattened global slot ids (q * m_max + j) of the
+    # other copies of slot (s, k); sentinel = S * m_max (a zero pad slot).
+    partners: jax.Array        # (S, m_max, k_max) int32
+    # inv_map[s, i] = interface slot of local dof i, sentinel m_max
+    inv_map: jax.Array         # (S, n_max) int32
+    is_if: jax.Array           # (S, n_max) bool
+    # interface-first renumbering (TPU fast path): local dofs are permuted
+    # so slot k lives at position k; exchange touches only x[:, :m_max].
+    # perm[s, p] = original local index now at position p; iperm inverse.
+    # None when the decomposition keeps the caller's numbering.
+    perm: Optional[jax.Array]   # (S, n_max) int32 or None
+    iperm: Optional[jax.Array]  # (S, n_max) int32 or None
     S: int = dataclasses.field(metadata=dict(static=True))
     n_max: int = dataclasses.field(metadata=dict(static=True))
     m_max: int = dataclasses.field(metadata=dict(static=True))
     n_if: int = dataclasses.field(metadata=dict(static=True))
     n_global: int = dataclasses.field(metadata=dict(static=True))
+    k_max: int = dataclasses.field(metadata=dict(static=True))
+    renumbered: bool = dataclasses.field(default=False,
+                                         metadata=dict(static=True))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -67,6 +83,7 @@ class Decomposition:
                         d: Optional[Sequence[np.ndarray]] = None,
                         n_max: Optional[int] = None,
                         scaling: str = "normalized",
+                        renumber: bool = False,
                         dtype=np.float64) -> "Decomposition":
         """Build from HPDDM-style neighbor lists.
 
@@ -134,15 +151,32 @@ class Decomposition:
         if_mask = np.zeros((S, m_max), dtype=bool)
         mult = np.zeros((S, n_max), dtype=dtype)
         ov_mask = np.zeros((S, n_max), dtype=bool)
+        inv_map = np.full((S, n_max), m_max, dtype=np.int32)
+        class_slots: dict = {}
         for s in range(S):
             lo, hi = offsets[s], offsets[s + 1]
             loc = np.nonzero(shared[lo:hi])[0]
             if_idx[s, : len(loc)] = loc
             if_gid[s, : len(loc)] = [gid_of_root[int(roots[lo + i])] for i in loc]
             if_mask[s, : len(loc)] = True
+            inv_map[s, loc] = np.arange(len(loc), dtype=np.int32)
+            for k, i in enumerate(loc):
+                class_slots.setdefault(int(roots[lo + i]), []).append(
+                    s * m_max + k)
             mult[s, : n_loc[s]] = [class_size[int(r)] for r in roots[lo:hi]]
             for idx in mappings[s]:
                 ov_mask[s, np.asarray(idx, dtype=np.int64)] = True
+
+        # partner tables: each slot lists the other copies of its class
+        k_max = max((len(v) - 1 for v in class_slots.values()), default=1)
+        k_max = max(k_max, 1)
+        sentinel = S * m_max
+        partners = np.full((S, m_max, k_max), sentinel, dtype=np.int32)
+        for members in class_slots.values():
+            for me in members:
+                others = [p for p in members if p != me]
+                s_i, k_i = divmod(me, m_max)
+                partners[s_i, k_i, : len(others)] = others
 
         d_arr = np.zeros((S, n_max), dtype=dtype)
         if d is None or scaling == "multiplicity":
@@ -169,6 +203,40 @@ class Decomposition:
                         else:
                             d_arr[s, i] = v / class_sum[int(roots[lo + i])]
 
+        perm = iperm = None
+        if renumber:
+            # interface-first renumbering: slot k -> position k, interior
+            # next, pads last. The runtime exchange then touches only the
+            # contiguous block x[:, :m_max] (no full-vector gathers — the
+            # TPU analogue of Schur::renumber's interior/interface split).
+            perm = np.zeros((S, n_max), dtype=np.int32)
+            iperm = np.zeros((S, n_max), dtype=np.int32)
+            for s in range(S):
+                mc = int(m_count[s])
+                iface = if_idx[s, :mc]
+                interior_mask = np.ones(n_loc[s], dtype=bool)
+                interior_mask[iface] = False
+                interior = np.nonzero(interior_mask)[0]
+                order = np.concatenate([
+                    iface, interior,
+                    np.arange(n_loc[s], n_max, dtype=np.int64)])
+                perm[s] = order
+                iperm[s, order] = np.arange(n_max, dtype=np.int32)
+                # permute per-dof arrays into the new layout
+                d_arr[s] = d_arr[s][order]
+                mult[s] = mult[s][order]
+                ov_mask[s] = ov_mask[s][order]
+            if_idx = np.broadcast_to(np.arange(m_max, dtype=np.int32),
+                                     (S, m_max)).copy()
+            inv_map = np.broadcast_to(
+                np.where(np.arange(n_max) < m_max,
+                         np.arange(n_max), m_max).astype(np.int32),
+                (S, n_max)).copy()
+            is_if_arr = (np.arange(n_max)[None, :]
+                         < m_count[:, None]).astype(bool)
+        else:
+            is_if_arr = inv_map < m_max
+
         return Decomposition(
             n_loc=jnp.asarray(n_loc, dtype=jnp.int32),
             d=jnp.asarray(d_arr),
@@ -177,8 +245,39 @@ class Decomposition:
             if_mask=jnp.asarray(if_mask),
             ov_mask=jnp.asarray(ov_mask),
             mult=jnp.asarray(mult),
+            partners=jnp.asarray(partners),
+            inv_map=jnp.asarray(inv_map),
+            is_if=jnp.asarray(is_if_arr),
+            perm=jnp.asarray(perm) if perm is not None else None,
+            iperm=jnp.asarray(iperm) if iperm is not None else None,
             S=S, n_max=int(n_max), m_max=m_max, n_if=n_if, n_global=n_global,
+            k_max=int(k_max), renumbered=bool(renumber),
         )
+
+    # ------------------------------------------------------------------
+    def permute(self, x: jax.Array) -> jax.Array:
+        """Original -> internal (interface-first) numbering; identity when
+        not renumbered. x: (S, n_max, ...)."""
+        if not self.renumbered:
+            return x
+        return jnp.take_along_axis(
+            x, self.perm[:, :, None] if x.ndim == 3 else self.perm, axis=1)
+
+    def unpermute(self, x: jax.Array) -> jax.Array:
+        """Internal -> original numbering."""
+        if not self.renumbered:
+            return x
+        return jnp.take_along_axis(
+            x, self.iperm[:, :, None] if x.ndim == 3 else self.iperm,
+            axis=1)
+
+    def permute_host(self, v: np.ndarray, s: int) -> np.ndarray:
+        """Permute a host-side length-n_loc[s] vector of subdomain s."""
+        if not self.renumbered:
+            return v
+        order = np.asarray(self.perm[s])
+        order = order[order < len(v)]
+        return np.asarray(v)[order]
 
     # ------------------------------------------------------------------
     @property

@@ -39,18 +39,24 @@ def psum_if(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
 
 def _interface_reduce(dec: Decomposition, vals: jax.Array,
                       axis_name: Optional[str]) -> jax.Array:
-    """Sum interface contributions over all owners.
+    """Sum interface contributions over all owners — scatter-free.
 
     vals: (S_loc, m_max, mu) gathered interface values (zero on invalid
-    slots). Returns (S_loc, m_max, mu) with each slot holding the sum over
-    every subdomain sharing that dof.
+    slots). Each slot's class members are precomputed (dec.partners), so
+    the reduction is self + k_max partner *gathers* — TPU scatters
+    serialize, gathers don't. When sharded, the (small) interface slab is
+    all-gathered over ICI first; single-device runs skip the collective.
     """
     mu = vals.shape[-1]
-    buf = jnp.zeros((dec.n_if + 1, mu), dtype=vals.dtype)
-    flat_gid = dec.if_gid.reshape(-1)
-    buf = buf.at[flat_gid].add(vals.reshape(-1, mu))
-    buf = psum_if(buf, axis_name)
-    return buf[dec.if_gid]
+    if axis_name is None:
+        vals_all = vals
+    else:
+        vals_all = jax.lax.all_gather(vals, axis_name, axis=0, tiled=True)
+    flat = vals_all.reshape(-1, mu)
+    flat = jnp.concatenate([flat, jnp.zeros((1, mu), dtype=flat.dtype)])
+    # (S_loc, m_max, k_max, mu) partner values; sentinel -> zero row
+    pvals = flat[dec.partners]
+    return vals + jnp.sum(pvals, axis=2)
 
 
 def exchange(dec: Decomposition, x: jax.Array,
@@ -59,13 +65,28 @@ def exchange(dec: Decomposition, x: jax.Array,
 
     x: (S_loc, n_max, mu). After the call, every copy of a shared dof holds
     the sum of all copies; interior dofs are untouched.
+
+    Fast path (interface-first renumbered decompositions, the default):
+    the interface block is the contiguous slice x[:, :m_max] — one static
+    slice, k_max partner gathers on the small slab, one contiguous write-
+    back. Slots of subdomains with fewer interface dofs than m_max carry
+    interior values whose partner lists are empty (sentinel), so they pass
+    through unchanged. No full-vector gather or scatter anywhere.
     """
+    if dec.renumbered:
+        m = dec.m_max
+        vals = x[:, :m, :]
+        summed = _interface_reduce(dec, vals, axis_name)
+        return jnp.concatenate([summed, x[:, m:, :]], axis=1)
+    # general path (caller numbering kept): gather/merge via inv_map
     vals = jnp.take_along_axis(x, dec.if_idx[:, :, None], axis=1)
     vals = jnp.where(dec.if_mask[:, :, None], vals, 0)
     summed = _interface_reduce(dec, vals, axis_name)
-    # scatter back only into valid slots
-    upd = jnp.where(dec.if_mask[:, :, None], summed, vals)
-    return _scatter_rows(x, dec.if_idx, dec.if_mask, upd)
+    summed_ext = jnp.concatenate(
+        [summed, jnp.zeros((summed.shape[0], 1, summed.shape[2]),
+                           dtype=summed.dtype)], axis=1)
+    upd = jnp.take_along_axis(summed_ext, dec.inv_map[:, :, None], axis=1)
+    return jnp.where(dec.is_if[:, :, None], upd, x)
 
 
 def scaled_exchange(dec: Decomposition, x: jax.Array,

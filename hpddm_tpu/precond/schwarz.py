@@ -228,6 +228,8 @@ def compute_residual(state: SchwarzState, x: jax.Array, f: jax.Array,
     counted once; Dirichlet-penalty rows are filtered like the reference.
     """
     dec = state.dec
+    x = dec.permute(x)
+    f = dec.permute(f)
     r = gmv(state, x, axis_name) - f
     w = dec.d[:, :, None]
     f_eff = jnp.where(jnp.abs(f) > HPDDM_EPS * HPDDM_PEN, f / HPDDM_PEN, f)
@@ -265,27 +267,52 @@ class Schwarz:
                  d: Optional[Sequence[np.ndarray]] = None,
                  options: Optional[Options] = None,
                  fmt: str = "auto",
-                 optimized_mats: Optional[Sequence[MatrixCSR]] = None):
+                 optimized_mats: Optional[Sequence[MatrixCSR]] = None,
+                 renumber: bool = False):
         """optimized_mats: user-supplied local matrices factorized instead
         of the plain restrictions for the ORAS/SORAS/OSM variants (e.g.
         Robin interface conditions for Helmholtz) — the user-matrix branch
-        of ``callNumfact`` (HPDDM_schwarz.hpp:337-368)."""
+        of ``callNumfact`` (HPDDM_schwarz.hpp:337-368).
+
+        renumber=True switches to the interface-first layout whose exchange
+        is a contiguous slab (no scatters) — worthwhile for unstructured
+        matrices that pack as ELL anyway; stencil matrices keep the caller
+        numbering so the DIA fast path survives (a symmetric permutation
+        scatters the diagonals)."""
         self.opt = options if options is not None else Options()
         n_loc = [m.n for m in mats]
         self.dec = Decomposition.from_subdomains(neighbors, mappings, n_loc,
-                                                 d=d)
-        self.mats = list(mats)
-        self.A = pack_local_matrices(mats, n_max=self.dec.n_max, fmt=fmt)
+                                                 d=d, renumber=renumber)
+        self.mats = list(mats)           # original numbering (dump/stats)
         self.n_max = self.dec.n_max
+        self.A = pack_local_matrices(self._permuted(mats),
+                                     n_max=self.n_max, fmt=fmt)
         self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
 
+    def _permuted(self, mats: Sequence[MatrixCSR]) -> List[MatrixCSR]:
+        """Apply the decomposition's interface-first renumbering to local
+        matrices (host-side, once at setup)."""
+        if not self.dec.renumbered:
+            return list(mats)
+        out = []
+        perm_np = np.asarray(self.dec.perm)
+        for s, m in enumerate(mats):
+            p = perm_np[s][perm_np[s] < m.n]
+            # sparse-safe symmetric permutation (np.ix_ on sparse densifies)
+            csr = m.scipy(expand=True)[p, :][:, p]
+            out.append(MatrixCSR(csr))
+        return out
+
     # -- HPDDM-style hooks -------------------------------------------------
     def set_vectors(self, vectors: Sequence[np.ndarray]) -> None:
-        """User deflation vectors (``setVectors``): vectors[s] is (n_s, nu_s)."""
-        self._deflation_vectors = [np.atleast_2d(np.asarray(v)).reshape(self.mats[s].n, -1)
-                                   for s, v in enumerate(vectors)]
+        """User deflation vectors (``setVectors``): vectors[s] is (n_s, nu_s),
+        given in the caller's numbering (permuted internally)."""
+        vecs = [np.atleast_2d(np.asarray(v)).reshape(self.mats[s].n, -1)
+                for s, v in enumerate(vectors)]
+        self._deflation_vectors = [self.dec.permute_host(v, s)
+                                   for s, v in enumerate(vecs)]
 
     def solve_gevp(self, neumann: Sequence[MatrixCSR],
                    nu=None) -> np.ndarray:
@@ -308,7 +335,8 @@ class Schwarz:
         nu_max_req = int(max(1, nu_req.max()))
 
         A_neu = batched_dense_from(pack_local_matrices(
-            neumann, n_max=self.n_max, fmt="dense", pad_identity=True))
+            self._permuted(neumann), n_max=self.n_max, fmt="dense",
+            pad_identity=True))
         B = scale_into_overlap(self.A, self.dec)
         lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
         lam_np = np.asarray(lam)
@@ -356,7 +384,8 @@ class Schwarz:
         if self.optimized_mats is not None and \
                 variant in ("oras", "soras", "osm"):
             A_fact = batched_dense_from(pack_local_matrices(
-                self.optimized_mats, n_max=self.n_max, fmt="dense"))
+                self._permuted(self.optimized_mats), n_max=self.n_max,
+                fmt="dense"))
         else:
             A_fact = batched_dense_from(self.A)
         if dtype is not None:
@@ -378,6 +407,12 @@ class Schwarz:
                 m.dump(f"{dump}_{s}.txt")
         return state
 
+    def exchange_rhs(self, f):
+        """Make a (possibly inconsistent) RHS consistent, in the caller's
+        numbering (the driver's ``A.exchange<true>(f, mu)``)."""
+        fp = self.dec.permute(jnp.asarray(f))
+        return self.dec.unpermute(scaled_exchange(self.dec, fp))
+
     def operator_state(self) -> SchwarzState:
         """State without any factorization: supports gmv/compute_residual
         only (for SpMV benchmarking and matrix-free pipelines)."""
@@ -388,7 +423,8 @@ class Schwarz:
         """Replace the local matrices for a subsequent solve (combined with
         -hpddm_reuse_preconditioner=1 this skips refactorization)."""
         self.mats = list(mats)
-        self.A = pack_local_matrices(mats, n_max=self.n_max, fmt=fmt)
+        self.A = pack_local_matrices(self._permuted(mats),
+                                     n_max=self.n_max, fmt=fmt)
 
     def statistics(self) -> str:
         """Global decomposition statistics (Subdomain::statistics,

@@ -74,6 +74,11 @@ class SubstructureState:
     N_l: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
     n_max: int = dataclasses.field(metadata=dict(static=True))
+    # GenEO deflation space (solve_gevp): lambda-space directions deflated
+    # F-orthogonally during the projected CG (Saad deflated-CG structure)
+    G_def: Optional[jax.Array] = None      # (N_l, nd)
+    FG_def: Optional[jax.Array] = None     # (N_l, nd) = F G_def
+    GFG_inv: Optional[jax.Array] = None    # (nd, nd) = (G^T F G)^-1
 
 
 class Substructure:
@@ -244,7 +249,8 @@ class Substructure:
         dec_b = Decomposition.from_subdomains(neighbors, b_mappings,
                                               nb_loc.tolist(),
                                               d=None, n_max=nb_max,
-                                              scaling="multiplicity")
+                                              scaling="multiplicity",
+                                              renumber=False)
 
         self.state = SubstructureState(
             K_pinv=K_pinv, kernels=kernels_j,
@@ -261,6 +267,89 @@ class Substructure:
             lam_sign=jnp.asarray(lam_sign, dtype=dtype),
             G=jnp.asarray(G), GtG_inv=jnp.asarray(GtG_inv),
             dec_b=dec_b, N_l=N_l, nc=nc, n_max=n_max)
+
+    # ------------------------------------------------------------------
+    def solve_gevp(self, nu: int = 4,
+                   threshold: Optional[float] = None,
+                   feti_deflation: bool = False) -> SubstructureState:
+        """GenEO-substructuring: local Schur pencil S_b v = lambda (D S_b D) v
+        (``Schur::solveGEVP``'s potrf/gst/trd/stebz/stein pipeline,
+        HPDDM_schur.hpp:161-271), smallest-lambda traces. The selected
+        vectors enrich both coarse spaces: BDD's balancing space (appended
+        to the Schur kernels) and FETI's projection (columns B D v appended
+        to G). Returns the enriched state (also stored on self)."""
+        st = self.state
+        S, nb, _ = st.S_b.shape
+        D = st.scaling
+        DSD = st.S_b * D[:, :, None] * D[:, None, :]
+        from hpddm_tpu.precond.geneo import solve_gevp_dense
+        lam, V = solve_gevp_dense(st.S_b, DSD, nu)
+        lam_np, V_np = np.asarray(lam), np.asarray(V)
+
+        counts = np.full(S, nu, dtype=np.int64)
+        if threshold is not None and threshold > 0:
+            counts = np.minimum(counts,
+                                np.maximum((lam_np < threshold).sum(1), 1))
+        # BDD: append to the balancing space, per-subdomain orthonormalized
+        # (GenEO traces can be nearly dependent with the Schur kernels)
+        old_k = np.asarray(st.sb_r_loc)
+        new_rmax = max(int((old_k + counts).max()), 1)
+        Sb_k = np.zeros((S, nb, new_rmax), dtype=np.asarray(st.S_b).dtype)
+        rank = np.zeros(S, dtype=np.int64)
+        Sbk_old = np.asarray(st.Sb_kernels)
+        for s in range(S):
+            cols = [Sbk_old[s, :, k] for k in range(int(old_k[s]))]
+            cols += [V_np[s, :, k] for k in range(int(counts[s]))]
+            if not cols:
+                continue
+            M = np.stack(cols, axis=1)
+            q, r = np.linalg.qr(M)
+            keep = np.abs(np.diag(r)) > 1e-8 * max(np.abs(np.diag(r)).max(),
+                                                   1e-30)
+            q = q[:, keep]
+            Sb_k[s, :, : q.shape[1]] = q
+            rank[s] = q.shape[1]
+        # FETI: G columns B (D v) — expand traces to full dofs, signed jump
+        g_cols = []
+        for s in range(S):
+            for k in range(int(counts[s])):
+                full = np.zeros((1, self.n_max, 1))
+                bsel = np.asarray(st.bidx[s])
+                msk = np.asarray(st.b_mask[s])
+                full[0, bsel[msk], 0] = (np.asarray(D[s]) * V_np[s, :, k])[msk]
+                g_cols.append(full)
+        G_def = FG_def = GFG_inv = None
+        # NOTE: lambda-space GenEO deflation for FETI is experimental — the
+        # kernel constraint projector and the F-orthogonal deflation
+        # projector do not commute, which currently degrades the primal
+        # recovery; BDD balancing enrichment (above) is the supported path.
+        if g_cols and feti_deflation:
+            # per-subdomain block: each column lives only on its subdomain
+            Xb = np.zeros((S, self.n_max, len(g_cols)))
+            c = 0
+            for s in range(S):
+                for k in range(int(counts[s])):
+                    Xb[s, :, c] = np.asarray(g_cols[c])[0, :, 0]
+                    c += 1
+            Gx = np.asarray(b_apply(st, jnp.asarray(Xb)))     # (N_l, nd)
+            # keep only directions with nonzero jump, orthonormalized
+            q, r = np.linalg.qr(Gx)
+            keep = np.abs(np.diag(r)) > 1e-10 * max(
+                np.abs(np.diag(r)).max(), 1e-30)
+            Gx = q[:, keep]
+            if Gx.shape[1]:
+                FG = np.asarray(feti_operator(st, jnp.asarray(Gx)))
+                GFG = Gx.T @ FG
+                G_def = jnp.asarray(Gx)
+                FG_def = jnp.asarray(FG)
+                GFG_inv = jnp.asarray(np.linalg.pinv(0.5 * (GFG + GFG.T)))
+        st2 = dataclasses.replace(
+            st,
+            Sb_kernels=jnp.asarray(Sb_k),
+            sb_r_loc=jnp.asarray(rank, dtype=jnp.int32),
+            G_def=G_def, FG_def=FG_def, GFG_inv=GFG_inv)
+        self.state = st2
+        return st2
 
 
 # ----------------------------------------------------------------------
@@ -349,13 +438,22 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     e = _kernel_dots(st, f, axis_name)                       # (nc, mu)
     lam0 = st.G @ (st.GtG_inv @ e)                           # G (G^T G)^-1 e
 
+    defl = st.G_def is not None
+    if defl:
+        # deflation initialization: solve the coarse dual problem exactly
+        r_tmp = d - feti_operator(st, lam0, axis_name)
+        lam0 = lam0 + st.G_def @ (st.GFG_inv @ (st.G_def.T.conj() @ r_tmp))
     r0 = feti_project(st, d - feti_operator(st, lam0, axis_name))
     norm = jnp.sqrt(jnp.sum(jnp.abs(r0) ** 2, axis=0)).astype(rdtype)
     norm = jnp.where(norm > 0, norm, 1.0)
 
     def prec(r):
         z = feti_precond(st, r, axis_name, precond)
-        return feti_project(st, z)
+        z = feti_project(st, z)
+        if defl:
+            # keep search directions F-orthogonal to the deflation space
+            z = z - st.G_def @ (st.GFG_inv @ (st.FG_def.T.conj() @ z))
+        return z
 
     class Carry(NamedTuple):
         lam: jax.Array
@@ -388,7 +486,9 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
                jnp.full((mu,), jnp.inf, dtype=rdtype))
     cf = jax.lax.while_loop(cond, body, c0)
 
-    # primal recovery (Feti::computeSolution, HPDDM_FETI.hpp:396-425)
+    # primal recovery (Feti::computeSolution, HPDDM_FETI.hpp:396-425):
+    # only the *kernel* columns of G determine the floating-mode
+    # amplitudes; GenEO enrichment columns are projection-only
     w = f - bt_apply(st, cf.lam)
     u = jnp.einsum("snk,skm->snm", st.K_pinv, w)
     jump_u = b_apply(st, u, axis_name)
@@ -497,7 +597,7 @@ def bdd_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     WtSW = wdot(W, SW)                                       # (ncb, ncb)
     eye = jnp.eye(ncb, dtype=f.dtype)
     WtSW = jnp.where(active[:, None] & active[None, :], WtSW, eye)
-    WtSW_inv = jnp.linalg.inv(WtSW)
+    WtSW_inv = jnp.linalg.pinv(0.5 * (WtSW + WtSW.T.conj()))
 
     def coarse(r):
         c = WtSW_inv @ jnp.where(active[:, None], wdot(W, r), 0)

@@ -38,7 +38,30 @@ def make_operator(A, axis_name: Optional[str] = None) -> LinearOperator:
 def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
           opt: Optional[Options] = None,
           axis_name: Optional[str] = None) -> KrylovResult:
-    """Dispatch on ``-hpddm_krylov_method`` (HPDDM_iterative.hpp:1020-1111)."""
+    """Dispatch on ``-hpddm_krylov_method`` (HPDDM_iterative.hpp:1020-1111).
+
+    b/x0 and the returned x use the caller's numbering: renumbered
+    decompositions (the TPU interface-first layout) permute on entry and
+    unpermute on exit — two gathers per *solve*, not per iteration."""
+    from hpddm_tpu.precond import schwarz as _schwarz
+    dec = A.dec if isinstance(A, _schwarz.SchwarzState) else None
+    if dec is not None and dec.renumbered:
+        if b.ndim == 2:
+            b = b[:, :, None]
+        b = dec.permute(b)
+        if x0 is not None:
+            if x0.ndim == 2:
+                x0 = x0[:, :, None]
+            x0 = dec.permute(x0)
+        res = _solve_core(A, b, x0, opt, axis_name)
+        return res._replace(x=dec.unpermute(res.x))
+    return _solve_core(A, b, x0, opt, axis_name)
+
+
+def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
+                opt: Optional[Options],
+                axis_name: Optional[str]) -> KrylovResult:
+    """Dispatch in the operator's internal numbering."""
     if opt is None:
         opt = Options()
     op = make_operator(A, axis_name)
@@ -66,7 +89,7 @@ def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
             inner.remove("enlarge_krylov_subspace")
             if method in ("gmres", "cg"):
                 inner["krylov_method"] = {"gmres": "bgmres", "cg": "bcg"}[method]
-            res = solve(A, slices, None, inner, axis_name)
+            res = _solve_core(A, slices, None, inner, axis_name)
             x = postprocess(res.x)
             return res._replace(x=x, it_per_rhs=res.it_per_rhs[:1],
                                 rel_res=res.rel_res[:1],

@@ -32,7 +32,8 @@ def _global_index_map(gen):
 def test_exchange_matches_global_sum(S, Nx, Ny, overlap):
     gen = diffusion2d.generate(S, Nx, Ny, overlap=overlap)
     dec = Decomposition.from_subdomains(gen.neighbors, gen.mappings,
-                                        gen.n_loc, d=gen.d)
+                                        gen.n_loc, d=gen.d,
+                                        renumber=False)
     gids = _global_index_map(gen)
 
     rng = np.random.default_rng(3)
@@ -60,7 +61,8 @@ def test_pou_and_consistent_identity(S, overlap):
     Nx = Ny = 24
     gen = diffusion2d.generate(S, Nx, Ny, overlap=overlap)
     dec = Decomposition.from_subdomains(gen.neighbors, gen.mappings,
-                                        gen.n_loc, d=gen.d)
+                                        gen.n_loc, d=gen.d,
+                                        renumber=False)
     gids = _global_index_map(gen)
 
     # the POU sums to one over each global dof (partition of unity)
@@ -96,7 +98,8 @@ def test_pou_and_consistent_identity(S, overlap):
 def test_multiplicity_scaling_default():
     gen = diffusion2d.generate(4, 16, 16, overlap=1)
     dec = Decomposition.from_subdomains(gen.neighbors, gen.mappings,
-                                        gen.n_loc, d=None)  # 1/multiplicity
+                                        gen.n_loc, d=None,
+                                        renumber=False)  # 1/multiplicity
     gids = _global_index_map(gen)
     acc = np.zeros(16 * 16)
     d_np = np.asarray(dec.d)

@@ -41,7 +41,8 @@ def test_gmv_exactness_fromfile(mini):
     x = np.zeros((S, sch.n_max, 1))
     for s in range(S):
         x[s, : gen.n_loc[s], 0] = g[gen.gids[s]]
-    y = np.asarray(gmv(state, jnp.asarray(x)))
+    y = np.asarray(state.dec.unpermute(
+        gmv(state, state.dec.permute(jnp.asarray(x)))))
     ref = gen.A_global @ g
     for s in range(S):
         np.testing.assert_allclose(y[s, : gen.n_loc[s], 0],

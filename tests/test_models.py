@@ -117,8 +117,7 @@ def test_elasticity_two_level_bgmres():
             for s in range(S):
                 fg[s, : gen.n_loc[s], 0] = gen.f[s][:, 0]
                 fg[s, : gen.n_loc[s], 1] = rng.normal(size=gen.n_loc[s])
-            from hpddm_tpu.parallel.ops import scaled_exchange
-            f = scaled_exchange(sch.dec, jnp.asarray(fg))
+            f = sch.exchange_rhs(jnp.asarray(fg))
         if nu:
             sch.solve_gevp(neumann)
         state = sch.build()

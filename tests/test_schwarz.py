@@ -27,8 +27,7 @@ def _setup(S, Nx=100, Ny=100, overlap=1, mu=0, sym=False, with_neumann=False,
     if mu != 0:
         # random RHS are not consistent across subdomains; the reference
         # driver runs A.exchange<true>(f, mu) first (schwarz.cpp:98)
-        from hpddm_tpu.parallel.ops import scaled_exchange
-        f = scaled_exchange(sch.dec, f)
+        f = sch.exchange_rhs(f)
     return gen, sch, f
 
 
@@ -57,9 +56,11 @@ def test_gmv_consistency():
         gid = (jj * Nx + ii).ravel()
         gids.append(gid)
         x[s, : gen.n_loc[s], 0] = g[gid]
-    y = np.asarray(gmv(state, jnp.asarray(x)))
+    y = np.asarray(state.dec.unpermute(
+        gmv(state, state.dec.permute(jnp.asarray(x)))))
     # ground truth: global matrix = sum_s R_s^T D_s A_s R_s
-    d_np = np.asarray(state.dec.d)
+    # (dec.d lives in the internal numbering — bring it back)
+    d_np = np.asarray(state.dec.unpermute(state.dec.d[:, :, None]))[:, :, 0]
     acc = np.zeros(Nx * Ny)
     for s in range(S):
         local = gen.mats[s].scipy() @ x[s, : gen.n_loc[s], 0]
