@@ -271,6 +271,55 @@ class Decomposition:
             x, self.iperm[:, :, None] if x.ndim == 3 else self.iperm,
             axis=1)
 
+    def global_mapping(self, neighbors, mappings, n_loc):
+        """Owner-based contiguous global numbering (``Subdomain::
+        globalMapping``, HPDDM_subdomain.hpp:471-544): each duplicated dof
+        is owned by its lowest-id sharer; owners number their dofs in
+        subdomain-major order. Returns (list of (n_loc[s],) int64 arrays,
+        n_global)."""
+        from hpddm_tpu.native import uf_resolve
+        S = len(neighbors)
+        n_loc = np.asarray(n_loc, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n_loc)])
+        pa, pb = [], []
+        for s in range(S):
+            for q, idx in zip(neighbors[s], mappings[s]):
+                if q < s:
+                    continue
+                pos = list(neighbors[q]).index(s)
+                pa.append(offsets[s] + np.asarray(idx, dtype=np.int64))
+                pb.append(offsets[q] + np.asarray(mappings[q][pos],
+                                                  dtype=np.int64))
+        roots = uf_resolve(int(offsets[-1]),
+                           np.concatenate(pa) if pa else np.zeros(0, np.int64),
+                           np.concatenate(pb) if pb else np.zeros(0, np.int64))
+        # owner = subdomain of the root slot (roots are minimal slot ids,
+        # and slots are subdomain-major, so the root lives on the lowest
+        # sharer — the reference's rank-order ownership)
+        uniq, inverse = np.unique(roots, return_inverse=True)
+        gids = []
+        for s in range(S):
+            lo, hi = offsets[s], offsets[s + 1]
+            gids.append(inverse[lo:hi].astype(np.int64))
+        return gids, len(uniq)
+
+    @staticmethod
+    def distributed_csr(mats, gids, d_list, n_global):
+        """Convert overlapping local matrices to a global 1D-row-block CSR
+        (``Subdomain::distributedCSR``, HPDDM_subdomain.hpp:549-656):
+        row i is contributed by owners weighted with the POU so the
+        assembled operator equals sum_s R^T D_s A_s R_s."""
+        import scipy.sparse as sp
+        acc = sp.csr_matrix((n_global, n_global))
+        for s, m in enumerate(mats):
+            g = np.asarray(gids[s])
+            n = m.n
+            R = sp.csr_matrix((np.ones(n), (g, np.arange(n))),
+                              shape=(n_global, n))
+            D = sp.diags(np.asarray(d_list[s])[:n])
+            acc = acc + R @ D @ m.scipy(expand=True) @ R.T
+        return sp.csr_matrix(acc)
+
     def permute_host(self, v: np.ndarray, s: int) -> np.ndarray:
         """Permute a host-side length-n_loc[s] vector of subdomain s."""
         if not self.renumbered:

@@ -111,6 +111,39 @@ def _harmonic_ritz_general(G: np.ndarray, QhW: np.ndarray, k: int,
     return np.ascontiguousarray(q)
 
 
+def bgcrodr(op: LinearOperator, b: jax.Array,
+            x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
+            restart: int = 40, max_it: int = 100, variant: str = "right",
+            recycle: int = 0, target: str = "SM",
+            recycled: Optional[RecycledSpace] = None,
+            same_system: bool = False) -> "GCRODRResult":
+    """Multi-RHS GCRO-DR: the RHS share one recycled space, refined as the
+    columns are solved in sequence (pseudo-block; the reference's true
+    block variant fuses them into one block Krylov space —
+    HPDDM_GCRODR.hpp:446-907 — which is future work here)."""
+    S, n, mu = b.shape
+    if mu == 1:
+        return gcrodr(op, b, x0, tol, restart, max_it, variant, recycle,
+                      target, False, recycled, same_system)
+    xs, its, rels, convs = [], [], [], []
+    rec = recycled
+    for j in range(mu):
+        bj = b[:, :, j: j + 1]
+        xj = x0[:, :, j: j + 1] if x0 is not None else None
+        res = gcrodr(op, bj, xj, tol, restart, max_it, variant, recycle,
+                     target, False, rec, same_system or (j > 0))
+        rec = res.recycled if res.recycled is not None else rec
+        xs.append(res.x)
+        its.append(int(res.iterations))
+        rels.append(res.rel_res)
+        convs.append(res.converged)
+    x = jnp.concatenate(xs, axis=2)
+    return GCRODRResult(x=x, iterations=jnp.int32(max(its)),
+                        it_per_rhs=jnp.asarray(its, jnp.int32),
+                        rel_res=jnp.concatenate(rels),
+                        converged=jnp.concatenate(convs), recycled=rec)
+
+
 def gcrodr(op: LinearOperator, b: jax.Array,
            x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
            restart: int = 40, max_it: int = 100, variant: str = "right",

@@ -121,13 +121,12 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         from hpddm_tpu.solvers.block import bfbcg
         return bfbcg(op, b, x0, tol=tol, max_it=max_it)
     if method in ("gcrodr", "bgcrodr"):
-        from hpddm_tpu.solvers.gcrodr import gcrodr
-        return gcrodr(op, b, x0, tol=tol,
-                      restart=int(opt.val("gmres_restart")),
-                      max_it=max_it, variant=variant,
-                      recycle=int(opt.val("recycle", 0)),
-                      target=opt.val("recycle_target"),
-                      block=(method == "bgcrodr"))
+        from hpddm_tpu.solvers.gcrodr import bgcrodr
+        return bgcrodr(op, b, x0, tol=tol,
+                       restart=int(opt.val("gmres_restart")),
+                       max_it=max_it, variant=variant,
+                       recycle=int(opt.val("recycle", 0)),
+                       target=opt.val("recycle_target"))
     if method == "none":
         # x = M^-1 b, one application, it = 1
         # (HPDDM_KRYLOV_METHOD_NONE, HPDDM_iterative.hpp:1056-1070)

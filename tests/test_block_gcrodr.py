@@ -121,3 +121,23 @@ def test_gcrodr_recycling_reduces_iterations():
         total_recycled += int(r.iterations)
 
     assert total_recycled < total_gmres, (total_recycled, total_gmres)
+
+
+def test_bgcrodr_multi_rhs():
+    """BGCRODR: several RHS share a recycled space; later columns converge
+    faster than the first (warm deflation)."""
+    n = 100
+    A = _laplacian_1d(n)
+    Ad = jnp.asarray(A.todense())
+    op = LinearOperator(gmv=lambda x: jnp.einsum("nk,skm->snm", Ad, x))
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.normal(size=(1, n, 3)))
+    from hpddm_tpu.solvers.gcrodr import bgcrodr
+    res = bgcrodr(op, b, tol=1e-8, restart=15, max_it=2000, recycle=7)
+    x = np.asarray(res.x)
+    for j in range(3):
+        r = np.asarray(b)[0, :, j] - A @ x[0, :, j]
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)[0, :, j]) \
+            < 1e-7
+    its = np.asarray(res.it_per_rhs)
+    assert its[1] < its[0] and its[2] < its[0], its
