@@ -1,19 +1,17 @@
 """Pallas TPU kernel for batched DIA SpMV.
 
 The jnp DIA path (ops/spmv.py) pads x and adds `ndiag` shifted slices; XLA
-materializes the shifted windows as relayout copies, which measures ~8x off
-the HBM roofline. This kernel streams row blocks through VMEM instead:
+materializes the shifted windows, measuring ~5x off the HBM roofline. This
+kernel processes one subdomain per grid step with everything resident in
+VMEM (vals ~5 MB + x ~1 MB at 264k dofs) and fully unrolled static-offset
+multiply-adds on the VPU.
 
-* grid (S, n/BN); the diagonal values are delivered blocked by BlockSpec,
-* the x window for a block overlaps its neighbors by the maximum offset,
-  which BlockSpec cannot express (blocks must tile), so x stays in ANY/HBM
-  memory and the halo'd window [j*BN, j*BN + BN + 2w) of the pre-padded
-  vector is DMA'd into VMEM scratch explicitly,
-* the per-diagonal multiply-adds are static-offset slices of the scratch
-  window — pure VPU, fully unrolled.
+Arrays are reshaped to (..., n/128, 128) so the trailing two block dims
+match the array dims (the Pallas TPU tiling rule); inside the kernel the
+row is flattened back and the per-diagonal shifts are static slices.
 
-Single-RHS fast path (the Krylov hot loop); multi-RHS falls back to the
-jnp formulation.
+Single-RHS fast path (the Krylov hot loop); multi-RHS and VMEM-exceeding
+sizes fall back to the jnp formulation (ops/spmv.py dispatches).
 """
 
 from __future__ import annotations
@@ -27,63 +25,84 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hpddm_tpu.core.formats import BatchedDIA
 
+# VMEM budget for the values + vector blocks (per grid step)
+_VMEM_CAP_BYTES = 10 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "block_n",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
 def _dia_spmv_1rhs(values: jax.Array, x: jax.Array, offsets: tuple,
-                   block_n: int = 16384, interpret: bool = False):
-    """values: (S, nd, n), x: (S, n) -> y: (S, n)."""
+                   interpret: bool = False):
+    """values: (S, nd, n), x: (S, n) -> y: (S, n). One subdomain per grid
+    step, full row resident in VMEM."""
     S, nd, n = values.shape
     w = max((abs(o) for o in offsets), default=0)
     w_pad = _round_up(max(w, 1), 128)
-    BN = min(block_n, _round_up(n, 512))
-    n_pad = _round_up(n, BN)
+    n_pad = _round_up(n, 128)
+    nx = n_pad + 2 * w_pad
 
     vals_p = jnp.pad(values, ((0, 0), (0, 0), (0, n_pad - n)))
-    # pre-pad x with w_pad halo on both sides (+ tail up to n_pad)
     xp = jnp.pad(x, ((0, 0), (w_pad, w_pad + n_pad - n)))
 
-    def kernel(vals_ref, x_hbm, out_ref, scratch, sem):
-        s = pl.program_id(0)
-        j = pl.program_id(1)
-        start = j * BN
-        cp = pltpu.make_async_copy(
-            x_hbm.at[s, pl.ds(start, BN + 2 * w_pad)], scratch, sem)
-        cp.start()
-        cp.wait()
-        acc = vals_ref[0, offsets.index(0) if 0 in offsets else 0, :] * 0.0
+    vals_3d = vals_p.reshape(S, nd, n_pad // 128, 128)
+    x_3d = xp.reshape(S, nx // 128, 128)
+
+    n_rows = n_pad // 128
+
+    def kernel(vals_ref, x_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+        # all 2D (rows, 128): a flattened shift by `off` = row shift by
+        # q = off//128 plus a lane roll by r = off%128, with the lanes that
+        # wrap taking the next row — two row-slices + one select per
+        # diagonal, no in-kernel reshapes (Mosaic-friendly)
+        x2 = x_ref[0]
+        acc = jnp.zeros((n_rows, 128), dtype=out_ref.dtype)
         for k, off in enumerate(offsets):
-            acc = acc + vals_ref[0, k, :] * scratch[w_pad + off:
-                                                    w_pad + off + BN]
-        out_ref[0, :] = acc
+            tot = w_pad + off
+            q, r = divmod(tot, 128)
+            vk = vals_ref[0, k]
+            rows_a = x2[q: q + n_rows, :]
+            if r == 0:
+                shifted = rows_a
+            else:
+                rows_b = x2[q + 1: q + 1 + n_rows, :]
+                # y[b] = x[(b + r) % 128]  ==  circular shift by 128 - r
+                roll_a = pltpu.roll(rows_a, 128 - r, 1)
+                roll_b = pltpu.roll(rows_b, 128 - r, 1)
+                shifted = jnp.where(lane < 128 - r, roll_a, roll_b)
+            acc = acc + vk * shifted
+        out_ref[0] = acc
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((S, n_pad), x.dtype),
-        grid=(S, n_pad // BN),
+        out_shape=jax.ShapeDtypeStruct((S, n_pad // 128, 128), x.dtype),
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, nd, BN), lambda s, j: (s, 0, j),
+            pl.BlockSpec((1, nd, n_pad // 128, 128),
+                         lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nx // 128, 128), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, BN), lambda s, j: (s, j),
+        out_specs=pl.BlockSpec((1, n_pad // 128, 128), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((BN + 2 * w_pad,), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(vals_p, xp)
-    return out[:, :n]
+    )(vals_3d, x_3d)
+    return out.reshape(S, n_pad)[:, :n]
+
+
+def pallas_dia_supported(A: BatchedDIA, x: jax.Array) -> bool:
+    S, nd, n = A.values.shape
+    itemsize = jnp.dtype(A.values.dtype).itemsize
+    return (x.shape[-1] == 1
+            and (nd + 2) * n * itemsize <= _VMEM_CAP_BYTES)
 
 
 def spmm_dia_pallas(A: BatchedDIA, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
-    """Pallas path for (S, n, mu) inputs; mu must be 1."""
+    """Pallas path for (S, n, 1) inputs."""
     assert x.shape[-1] == 1
     y = _dia_spmv_1rhs(A.values, x[:, :, 0], tuple(A.offsets),
                        interpret=interpret)

@@ -75,7 +75,7 @@ def sharded_solve(state, b: jax.Array, opt: Options, mesh: Mesh,
     from hpddm_tpu.solvers.gmres import KrylovResult
     out_specs = KrylovResult(x=vec_spec, iterations=scal_spec,
                              it_per_rhs=scal_spec, rel_res=scal_spec,
-                             converged=scal_spec)
+                             converged=scal_spec, history=scal_spec)
     fn = jax.shard_map(run, mesh=mesh, in_specs=(specs, vec_spec),
                        out_specs=out_specs, check_vma=False)
     return fn(state, b)

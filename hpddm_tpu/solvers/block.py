@@ -90,6 +90,7 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         first_it: jax.Array
         res: jax.Array
         stop: jax.Array
+        hist: jax.Array
 
     def cycle(carry: Carry) -> Carry:
         x = carry.x
@@ -112,6 +113,7 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             first_it: jax.Array
             res: jax.Array
             all_conv: jax.Array
+            hist: jax.Array
 
         def residuals(Hc, i):
             """Per-RHS residuals of the block LS via dense lstsq on the
@@ -165,11 +167,13 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             crossed = res <= tol * norm
             first_new = jnp.where((st.first_it == 0) & crossed, st.it,
                                   st.first_it)
+            hist = st.hist.at[jnp.minimum(st.it, max_it)].set(
+                (res / norm).astype(st.hist.dtype))
             return Inner(V_new, Z_new, H_new, st.i + 1, st.it + 1, first_new,
-                         res, jnp.all(crossed))
+                         res, jnp.all(crossed), hist)
 
         st0 = Inner(V, Z, H, jnp.int32(0), carry.it, carry.first_it,
-                    carry.res, jnp.array(False))
+                    carry.res, jnp.array(False), carry.hist)
         stf = lax.while_loop(inner_cond, inner_body, st0)
 
         Y, _ = residuals(stf.H, stf.i)
@@ -181,16 +185,17 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             upd = op.apply(u) if not left else u
         x_new = x + upd
         stop = stf.all_conv | (stf.it > max_it)
-        return Carry(x_new, stf.it, stf.first_it, stf.res, stop)
+        return Carry(x_new, stf.it, stf.first_it, stf.res, stop, stf.hist)
 
     carry0 = Carry(x0, jnp.int32(1), jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype), jnp.array(False))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype), jnp.array(False),
+                   jnp.full((max_it + 1, mu), -1.0, dtype=rdtype))
     final = lax.while_loop(lambda c: ~c.stop, cycle, carry0)
     it_per_rhs = jnp.where(final.first_it > 0, final.first_it,
                            jnp.minimum(final.it - 1, max_it))
     return KrylovResult(x=final.x, iterations=jnp.max(it_per_rhs),
                         it_per_rhs=it_per_rhs, rel_res=final.res / norm,
-                        converged=final.first_it > 0)
+                        converged=final.first_it > 0, history=final.hist)
 
 
 def bcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
@@ -214,6 +219,7 @@ def bcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         it: jax.Array
         first_it: jax.Array
         res: jax.Array
+        hist: jax.Array
 
     r0 = b - op.gmv(x0)
     z0 = op.apply(r0)
@@ -234,16 +240,19 @@ def bcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         res = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, r, r)))).astype(rdtype)
         crossed = res <= tol * norm
         first_new = jnp.where((c.first_it == 0) & crossed, c.it, c.first_it)
-        return Carry(x, r, p, c.it + 1, first_new, res / norm)
+        hist = c.hist.at[jnp.minimum(c.it, max_it)].set(
+            (res / norm).astype(c.hist.dtype))
+        return Carry(x, r, p, c.it + 1, first_new, res / norm, hist)
 
     carry0 = Carry(x0, r0, z0, jnp.int32(1), jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype),
+                   jnp.full((max_it + 1, mu), -1.0, dtype=rdtype))
     f = lax.while_loop(cond, body, carry0)
     it_per_rhs = jnp.where(f.first_it > 0, f.first_it,
                            jnp.minimum(f.it - 1, max_it))
     return KrylovResult(x=f.x, iterations=jnp.max(it_per_rhs),
                         it_per_rhs=it_per_rhs, rel_res=f.res,
-                        converged=f.first_it > 0)
+                        converged=f.first_it > 0, history=f.hist)
 
 
 def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
@@ -268,6 +277,7 @@ def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         it: jax.Array
         first_it: jax.Array
         res: jax.Array
+        hist: jax.Array
 
     r0 = b - op.gmv(x0)
     p0, _ = _chol_qr(op, op.apply(r0), rtol=dtol)
@@ -289,13 +299,16 @@ def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         res = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, r, r)))).astype(rdtype)
         crossed = res <= tol * norm
         first_new = jnp.where((c.first_it == 0) & crossed, c.it, c.first_it)
-        return Carry(x, r, p_new, c.it + 1, first_new, res / norm)
+        hist = c.hist.at[jnp.minimum(c.it, max_it)].set(
+            (res / norm).astype(c.hist.dtype))
+        return Carry(x, r, p_new, c.it + 1, first_new, res / norm, hist)
 
     carry0 = Carry(x0, r0, p0, jnp.int32(1), jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype),
+                   jnp.full((max_it + 1, mu), -1.0, dtype=rdtype))
     f = lax.while_loop(cond, body, carry0)
     it_per_rhs = jnp.where(f.first_it > 0, f.first_it,
                            jnp.minimum(f.it - 1, max_it))
     return KrylovResult(x=f.x, iterations=jnp.max(it_per_rhs),
                         it_per_rhs=it_per_rhs, rel_res=f.res,
-                        converged=f.first_it > 0)
+                        converged=f.first_it > 0, history=f.hist)

@@ -47,6 +47,7 @@ def cg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         it: jax.Array
         first_it: jax.Array
         res: jax.Array
+        hist: jax.Array
 
     r0 = b - op.gmv(x0)
     z0 = op.apply(r0)
@@ -72,15 +73,18 @@ def cg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         first_new = jnp.where(active & crossed, c.it, c.first_it)
         beta = rz_new / jnp.where(jnp.abs(c.rz) > 0, c.rz, 1.0)
         p = z + beta[None, None, :] * c.p
-        return Carry(x, r, p, rz_new, c.it + 1, first_new, res / norm)
+        hist = c.hist.at[jnp.minimum(c.it, max_it)].set(
+            (res / norm).astype(c.hist.dtype))
+        return Carry(x, r, p, rz_new, c.it + 1, first_new, res / norm, hist)
 
     carry0 = Carry(x0, r0, z0, rz0, jnp.int32(1),
                    jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype),
+                   jnp.full((max_it + 1, mu), -1.0, dtype=rdtype))
     f = lax.while_loop(cond, body, carry0)
 
     it_per_rhs = jnp.where(f.first_it > 0, f.first_it,
                            jnp.minimum(f.it - 1, max_it))
     return KrylovResult(x=f.x, iterations=jnp.max(it_per_rhs),
                         it_per_rhs=it_per_rhs, rel_res=f.res,
-                        converged=f.first_it > 0)
+                        converged=f.first_it > 0, history=f.hist)

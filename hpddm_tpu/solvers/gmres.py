@@ -36,6 +36,9 @@ class KrylovResult(NamedTuple):
     it_per_rhs: jax.Array  # (mu,) int32 — first crossing per RHS
     rel_res: jax.Array     # (mu,) — final Givens residual estimate / norm(b)
     converged: jax.Array   # (mu,) bool
+    # (max_it + 1, mu) per-iteration relative residual estimates, -1 where
+    # not reached — the KSPMonitor / verbosity>2 printout analogue
+    history: jax.Array = None
 
 
 def _givens(a, b):
@@ -105,6 +108,7 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         first_it: jax.Array       # (mu,) first tol crossing (0 = not yet)
         res: jax.Array            # (mu,) current residual estimates
         stop: jax.Array           # () bool — converged or breakdown
+        hist: jax.Array           # (max_it + 1, mu) residual history
 
     def cycle(carry: Carry) -> Carry:
         x = carry.x
@@ -136,6 +140,7 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             first_it: jax.Array
             res: jax.Array
             all_conv: jax.Array
+            hist: jax.Array
 
         def inner_cond(st: Inner):
             return (st.i < m) & (st.it <= max_it) & ~st.all_conv
@@ -197,11 +202,15 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             first_new = jnp.where((st.first_it == 0) & crossed, st.it,
                                   st.first_it)
             all_conv = jnp.all(crossed)
+            hist = st.hist.at[jnp.minimum(st.it, max_it)].set(
+                (res / norm).astype(st.hist.dtype))
             return Inner(V_new, Z_new, H_new, cs_new, sn_new, svec_new,
-                         st.i + 1, st.it + 1, first_new, res, all_conv)
+                         st.i + 1, st.it + 1, first_new, res, all_conv,
+                         hist)
 
         st0 = Inner(V, Z, H, cs, sn, svec, jnp.int32(0), carry.it,
-                    carry.first_it, carry.res, jnp.array(False))
+                    carry.first_it, carry.res, jnp.array(False),
+                    carry.hist)
         stf = lax.while_loop(inner_cond, inner_body, st0)
 
         # --- solution update (updateSol: HPDDM_iterative.hpp:272-336) ----
@@ -219,10 +228,12 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         x_new = x + upd
 
         stop = stf.all_conv | (stf.it > max_it) | breakdown
-        return Carry(x_new, stf.it, stf.first_it, stf.res, stop)
+        return Carry(x_new, stf.it, stf.first_it, stf.res, stop, stf.hist)
 
+    hist0 = jnp.full((max_it + 1, mu), -1.0, dtype=rdtype)
     carry0 = Carry(x0, jnp.int32(1), jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype), jnp.array(False))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype), jnp.array(False),
+                   hist0)
     final = lax.while_loop(lambda c: ~c.stop, cycle, carry0)
 
     it_per_rhs = jnp.where(final.first_it > 0, final.first_it,
@@ -231,4 +242,5 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     return KrylovResult(x=final.x, iterations=iterations,
                         it_per_rhs=it_per_rhs,
                         rel_res=final.res / norm,
-                        converged=final.first_it > 0)
+                        converged=final.first_it > 0,
+                        history=final.hist)

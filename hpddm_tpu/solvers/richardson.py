@@ -29,6 +29,7 @@ def richardson(op: LinearOperator, b: jax.Array,
         it: jax.Array
         first_it: jax.Array
         res: jax.Array
+        hist: jax.Array
 
     def cond(c: Carry):
         return (c.it <= max_it) & jnp.any(c.first_it == 0)
@@ -39,13 +40,16 @@ def richardson(op: LinearOperator, b: jax.Array,
         res = jnp.sqrt(op.norm_sq(r)).astype(rdtype)
         crossed = res <= tol * norm
         first_new = jnp.where((c.first_it == 0) & crossed, c.it, c.first_it)
-        return Carry(x, c.it + 1, first_new, res / norm)
+        hist = c.hist.at[jnp.minimum(c.it, max_it)].set(
+            (res / norm).astype(c.hist.dtype))
+        return Carry(x, c.it + 1, first_new, res / norm, hist)
 
     carry0 = Carry(x0, jnp.int32(1), jnp.zeros((mu,), jnp.int32),
-                   jnp.full((mu,), jnp.inf, dtype=rdtype))
+                   jnp.full((mu,), jnp.inf, dtype=rdtype),
+                   jnp.full((max_it + 1, mu), -1.0, dtype=rdtype))
     f = lax.while_loop(cond, body, carry0)
     it_per_rhs = jnp.where(f.first_it > 0, f.first_it,
                            jnp.minimum(f.it - 1, max_it))
     return KrylovResult(x=f.x, iterations=jnp.max(it_per_rhs),
                         it_per_rhs=it_per_rhs, rel_res=f.res,
-                        converged=f.first_it > 0)
+                        converged=f.first_it > 0, history=f.hist)

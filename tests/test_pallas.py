@@ -1,0 +1,25 @@
+"""Pallas DIA SpMV kernel vs the jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hpddm_tpu.models import diffusion2d
+from hpddm_tpu.options import Options
+from hpddm_tpu.precond.schwarz import Schwarz
+from hpddm_tpu.ops.spmv import spmm
+from hpddm_tpu.ops.pallas_spmv import spmm_dia_pallas
+
+
+@pytest.mark.parametrize("S,Nx,Ny", [(4, 40, 40), (2, 100, 60)])
+def test_pallas_dia_matches_reference(S, Nx, Ny):
+    gen = diffusion2d.generate(S, Nx, Ny, overlap=1)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options())
+    state = sch.operator_state()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(S, sch.n_max, 1)))
+    y_ref = spmm(state.A, x)
+    y_pal = spmm_dia_pallas(state.A, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=1e-11)
