@@ -339,8 +339,8 @@ class Schwarz:
             pad_identity=True))
         B = scale_into_overlap(self.A, self.dec)
         lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
-        lam_np = np.asarray(lam)
-        V_np = np.asarray(V)
+        lam_np = np.array(lam)
+        V_np = np.array(V)  # writable: force-uniformity may pad columns
         threshold = opt.val("geneo_threshold")
         nu_loc, V_np = select_nu(
             lam_np, nu_req,
