@@ -268,7 +268,7 @@ class Schwarz:
                  options: Optional[Options] = None,
                  fmt: str = "auto",
                  optimized_mats: Optional[Sequence[MatrixCSR]] = None,
-                 renumber: bool = False):
+                 renumber: bool = False, prefix: str = ""):
         """optimized_mats: user-supplied local matrices factorized instead
         of the plain restrictions for the ORAS/SORAS/OSM variants (e.g.
         Robin interface conditions for Helmholtz) — the user-matrix branch
@@ -280,6 +280,7 @@ class Schwarz:
         numbering so the DIA fast path survives (a symmetric permutation
         scatters the diagonals)."""
         self.opt = options if options is not None else Options()
+        self.prefix = prefix      # per-object option prefix (``setPrefix``)
         n_loc = [m.n for m in mats]
         self.dec = Decomposition.from_subdomains(neighbors, mappings, n_loc,
                                                  d=d, renumber=renumber)
@@ -327,9 +328,10 @@ class Schwarz:
         from hpddm_tpu.precond.geneo import (scale_into_overlap,
                                              solve_gevp_dense, select_nu)
         opt = self.opt
+        pfx = getattr(self, "prefix", "")
         S = self.dec.S
         if nu is None:
-            nu = int(opt.val("geneo_nu"))
+            nu = int(opt.val("geneo_nu", prefix=pfx))
         nu_req = np.full(S, nu, dtype=np.int64) if np.isscalar(nu) \
             else np.asarray(nu, dtype=np.int64)
         nu_max_req = int(max(1, nu_req.max()))
@@ -341,11 +343,11 @@ class Schwarz:
         lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
         lam_np = np.array(lam)
         V_np = np.array(V)  # writable: force-uniformity may pad columns
-        threshold = opt.val("geneo_threshold")
+        threshold = opt.val("geneo_threshold", prefix=pfx)
         nu_loc, V_np = select_nu(
             lam_np, nu_req,
             threshold=float(threshold) if threshold is not None else None,
-            force_uniformity=opt.val("geneo_force_uniformity"),
+            force_uniformity=opt.val("geneo_force_uniformity", prefix=pfx),
             rng=np.random.default_rng(42), vectors=V_np)
         self._deflation_vectors = [
             np.ascontiguousarray(V_np[s, : self.mats[s].n, : int(nu_loc[s])])
@@ -370,8 +372,9 @@ class Schwarz:
         """Factorize local solvers (+ coarse operator) and return the state
         (``callNumfact``, HPDDM_schwarz.hpp:337-368)."""
         opt = self.opt
-        variant = opt.val("schwarz_method")
-        local_kind = opt.val("local_solver")
+        pfx = getattr(self, "prefix", "")
+        variant = opt.val("schwarz_method", prefix=pfx)
+        local_kind = opt.val("local_solver", prefix=pfx)
         reuse = self._state is not None and int(opt.val(
             "reuse_preconditioner", 0))
         if reuse:
@@ -393,7 +396,7 @@ class Schwarz:
         solver = factorize(A_fact, kind=local_kind)
 
         coarse = None
-        correction = opt.val("schwarz_coarse_correction")
+        correction = opt.val("schwarz_coarse_correction", prefix=pfx)
         if correction is not None:
             coarse = self._build_coarse(correction, A_fact.dtype)
 

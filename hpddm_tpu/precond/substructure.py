@@ -57,6 +57,7 @@ class SubstructureState:
     Sb_kernels: jax.Array    # (S, nb, r_max) kernel of S_b (padded)
     sb_r_loc: jax.Array      # (S,)
     K_bi: jax.Array          # (S, nb, ni) boundary-interior coupling
+    K_bb: jax.Array          # (S, nb, nb) boundary block (lumped precond)
     bidx: jax.Array          # (S, nb) local indices of interface dofs
     b_mask: jax.Array        # (S, nb) validity
     scaling: jax.Array       # (S, nb) multiplicity scaling on the interface
@@ -142,7 +143,17 @@ class Substructure:
                 lam_loc[s, k] = loc
                 lam_sign[s, k] = sgn
 
-        # -- multiplicity scaling on the interface -------------------------
+        # -- interface scaling (Feti/Bdd::buildScaling): multiplicity
+        # (1/mult) or stiffness (rho_s / sum_sharers rho_q with rho = local
+        # diagonal), -hpddm_substructuring_scaling --------------------------
+        sc_kind = self.opt.val("substructuring_scaling")
+        diags = [np.asarray(m.scipy().diagonal()).real for m in mats]
+        denom = [d.copy() for d in diags]
+        for s in range(S):
+            for q, idx in zip(neighbors[s], mappings[s]):
+                pos = list(neighbors[q]).index(s)
+                idx_q = np.asarray(mappings[q][pos])
+                denom[s][np.asarray(idx)] += diags[q][idx_q]
         mult = [np.ones(m.n) for m in mats]
         for s in range(S):
             for q, idx in zip(neighbors[s], mappings[s]):
@@ -150,7 +161,11 @@ class Substructure:
         scaling = np.zeros((S, nb_max))
         for s in range(S):
             nb = nb_loc[s]
-            scaling[s, :nb] = 1.0 / mult[s][bidx[s, :nb]]
+            b = bidx[s, :nb]
+            if sc_kind in ("stiffness", "coefficient"):
+                scaling[s, :nb] = diags[s][b] / denom[s][b]
+            else:
+                scaling[s, :nb] = 1.0 / mult[s][b]
 
         # -- batched dense factorization ----------------------------------
         dtype = np.result_type(*[m.dtype for m in mats])
@@ -184,6 +199,7 @@ class Substructure:
         # -- Schur complements --------------------------------------------
         K_np = np.asarray(K)
         S_b = np.zeros((S, nb_max, nb_max), dtype=dtype)
+        K_bb_arr = np.zeros((S, nb_max, nb_max), dtype=dtype)
         K_bi = np.zeros((S, nb_max, ni_max), dtype=dtype)
         Kii_inv = np.zeros((S, ni_max, ni_max), dtype=dtype)
         for s in range(S):
@@ -197,6 +213,8 @@ class Substructure:
             S_b[s, :nb, :nb] = Kbb - Kbi @ Kii_i @ Kbi.T
             pad = np.arange(nb, nb_max)
             S_b[s, pad, pad] = 1.0
+            K_bb_arr[s, :nb, :nb] = Kbb
+            K_bb_arr[s, pad, pad] = 1.0
             K_bi[s, :nb, :ni] = Kbi
             Kii_inv[s, :ni, :ni] = Kii_i
             padi = np.arange(ni, ni_max)
@@ -258,7 +276,7 @@ class Substructure:
             S_b=S_b, S_b_pinv=S_b_pinv,
             Sb_kernels=jnp.asarray(Sb_kernels),
             sb_r_loc=jnp.asarray(sb_r_loc, dtype=jnp.int32),
-            K_bi=jnp.asarray(K_bi),
+            K_bi=jnp.asarray(K_bi), K_bb=jnp.asarray(K_bb_arr),
             bidx=jnp.asarray(bidx), b_mask=jnp.asarray(b_mask),
             scaling=jnp.asarray(scaling, dtype=dtype),
             Kii_inv=jnp.asarray(Kii_inv),
@@ -395,11 +413,26 @@ def feti_precond(st: SubstructureState, lam: jax.Array,
     # scaled expand, restricted to the interface numbering
     S, L = st.lam_id.shape
     mu = lam.shape[-1]
+    if variant == "none":
+        return lam
     w = bt_apply(st, lam)                                    # (S, n, mu)
     vb = jnp.take_along_axis(w, st.bidx[:, :, None], axis=1)
     vb = jnp.where(st.b_mask[:, :, None], vb, 0)
     vb = st.scaling[:, :, None] * vb
-    Sb = st.S_b if variant in ("dirichlet", "lumped") else st.S_b
+    if variant == "lumped":
+        Sb = st.K_bb                    # FetiPrcndtnr::LUMPED
+    elif variant == "superlumped":
+        diag = jnp.diagonal(st.K_bb, axis1=1, axis2=2)
+        yb = diag[:, :, None] * vb      # diagonal of K_bb only
+        yb = st.scaling[:, :, None] * yb
+        yb = jnp.where(st.b_mask[:, :, None], yb, 0)
+        y = jnp.zeros_like(w)
+        s_ix = jnp.broadcast_to(jnp.arange(S)[:, None], st.bidx.shape)
+        safe_b = jnp.where(st.b_mask, st.bidx, st.n_max)
+        y = y.at[s_ix, safe_b].set(yb, mode="drop")
+        return b_apply(st, y, axis_name)
+    else:
+        Sb = st.S_b                     # FetiPrcndtnr::DIRICHLET
     yb = jnp.einsum("snk,skm->snm", Sb, vb)
     yb = st.scaling[:, :, None] * yb
     yb = jnp.where(st.b_mask[:, :, None], yb, 0)

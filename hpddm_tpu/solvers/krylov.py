@@ -37,7 +37,8 @@ def make_operator(A, axis_name: Optional[str] = None) -> LinearOperator:
 
 def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
           opt: Optional[Options] = None,
-          axis_name: Optional[str] = None) -> KrylovResult:
+          axis_name: Optional[str] = None,
+          prefix: str = "") -> KrylovResult:
     """Dispatch on ``-hpddm_krylov_method`` (HPDDM_iterative.hpp:1020-1111).
 
     b/x0 and the returned x use the caller's numbering: renumbered
@@ -53,22 +54,23 @@ def solve(A, b: jax.Array, x0: Optional[jax.Array] = None,
             if x0.ndim == 2:
                 x0 = x0[:, :, None]
             x0 = dec.permute(x0)
-        res = _solve_core(A, b, x0, opt, axis_name)
+        res = _solve_core(A, b, x0, opt, axis_name, prefix)
         return res._replace(x=dec.unpermute(res.x))
-    return _solve_core(A, b, x0, opt, axis_name)
+    return _solve_core(A, b, x0, opt, axis_name, prefix)
 
 
 def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                 opt: Optional[Options],
-                axis_name: Optional[str]) -> KrylovResult:
+                axis_name: Optional[str],
+                prefix: str = "") -> KrylovResult:
     """Dispatch in the operator's internal numbering."""
     if opt is None:
         opt = Options()
     op = make_operator(A, axis_name)
-    method = opt.val("krylov_method")
-    tol = float(opt.val("tol"))
-    max_it = int(opt.val("max_it"))
-    variant = opt.val("variant")
+    method = opt.val("krylov_method", prefix=prefix)
+    tol = float(opt.val("tol", prefix=prefix))
+    max_it = int(opt.val("max_it", prefix=prefix))
+    variant = opt.val("variant", prefix=prefix)
 
     if b.ndim == 2:  # (S, n) convenience -> single RHS
         b = b[:, :, None]
@@ -89,7 +91,7 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
             inner.remove("enlarge_krylov_subspace")
             if method in ("gmres", "cg"):
                 inner["krylov_method"] = {"gmres": "bgmres", "cg": "bcg"}[method]
-            res = _solve_core(A, slices, None, inner, axis_name)
+            res = _solve_core(A, slices, None, inner, axis_name, prefix)
             x = postprocess(res.x)
             return res._replace(x=x, it_per_rhs=res.it_per_rhs[:1],
                                 rel_res=res.rel_res[:1],
@@ -107,6 +109,20 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                      max_it=max_it, variant=variant,
                      ortho=opt.val("orthogonalization"))
     if method == "cg":
+        from hpddm_tpu.precond import schwarz as _sz
+        if isinstance(A, _sz.SchwarzState) and \
+                not int(opt.val("operator_spd", 0)):
+            nonsym = A.variant in ("ras", "oras") or (
+                A.coarse is not None
+                and A.coarse.correction in ("deflated", "balanced"))
+            if nonsym:
+                # CG requires an SPD preconditioner; RAS and the deflated/
+                # balanced corrections are nonsymmetric — fall back to
+                # GMRES like the reference (HPDDM_CG.hpp:40-42)
+                return gmres(op, b, x0, tol=tol,
+                             restart=int(opt.val("gmres_restart")),
+                             max_it=max_it, variant=variant,
+                             ortho=opt.val("orthogonalization"))
         from hpddm_tpu.solvers.cg import cg
         return cg(op, b, x0, tol=tol, max_it=max_it, variant=variant)
     if method == "richardson":

@@ -114,3 +114,17 @@ def test_inexact_coarse_level2_krylov():
 def test_version_text():
     txt = Options.version_text()
     assert "hpddm_tpu" in txt
+
+
+def test_object_prefix():
+    """Per-object prefixes: -hpddm_myprefix_* overrides for one operator
+    (the -prefix=myPrefix_ sweep of the reference's make test)."""
+    gen, sch, f = _setup()
+    sch.opt["my_schwarz_method"] = "asm"
+    sch.opt["my_tol"] = 1e-4
+    sch.prefix = "my_"
+    state = sch.build()
+    assert state.variant == "asm"
+    res = solve(state, f, opt=sch.opt, prefix="my_")
+    nb, nr = compute_residual(state, res.x, f)
+    assert float(nr[0] / nb[0]) < 1e-2

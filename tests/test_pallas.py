@@ -23,3 +23,19 @@ def test_pallas_dia_matches_reference(S, Nx, Ny):
     y_pal = spmm_dia_pallas(state.A, x, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                atol=1e-11)
+
+
+def test_merge_scatter_interpret():
+    from hpddm_tpu.ops.pallas_exchange import ScatterPlan, merge_scatter
+    rng = np.random.default_rng(1)
+    N, K = 4000, 250
+    x = rng.normal(size=N)
+    pos = rng.choice(N, size=K, replace=False).astype(np.int64)
+    pos_all = np.concatenate([pos, np.full(10, N + 3, np.int64)])
+    vals = rng.normal(size=K + 10)
+    plan = ScatterPlan.build(pos_all, N, block_rows=8)
+    out = np.asarray(merge_scatter(plan, jnp.asarray(x), jnp.asarray(vals),
+                                   interpret=True))
+    ref = x.copy()
+    ref[pos] = vals[:K]
+    np.testing.assert_allclose(out, ref, atol=0)

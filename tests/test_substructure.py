@@ -102,3 +102,28 @@ def test_bdd(S, Nx, Ny):
     res = bdd_solve(st, f, tol=1e-10, max_it=300)
     assert int(res.iterations) < 80
     _check_solution(gen, res.u, atol=1e-5)
+
+
+@pytest.mark.parametrize("precond", ["dirichlet", "lumped", "superlumped",
+                                     "none"])
+def test_feti_preconditioner_variants(precond):
+    """FetiPrcndtnr::{DIRICHLET,LUMPED,SUPERLUMPED,NONE}
+    (HPDDM_enum.hpp:39-44)."""
+    gen = nonoverlap.generate(4, 16, 16)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    st = sub.state
+    f = _pack_f(gen, sub)
+    res = feti_solve(st, f, tol=1e-9, max_it=300, precond=precond)
+    _check_solution(gen, res.u, atol=1e-5)
+
+
+def test_stiffness_scaling():
+    """-hpddm_substructuring_scaling stiffness on a heterogeneous split."""
+    from hpddm_tpu.options import Options
+    gen = nonoverlap.generate(4, 20, 20, contrast=1e3)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                       options=Options(substructuring_scaling="stiffness"))
+    f = _pack_f(gen, sub)
+    res = feti_solve(sub.state, f, tol=1e-9, max_it=400)
+    _check_solution(gen, res.u, atol=1e-5)
+    assert int(res.iterations) < 400
