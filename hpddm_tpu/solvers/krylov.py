@@ -99,7 +99,8 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
 
     if method == "gmres":
         from hpddm_tpu.precond import schwarz as _sz
-        if isinstance(A, _sz.SchwarzState) and A.coarse is not None and                 A.coarse.mode == "iterative" and variant != "flexible":
+        if isinstance(A, _sz.SchwarzState) and A.coarse is not None \
+                and A.coarse.mode == "iterative" and variant != "flexible":
             # inexact coarse solves make M^-1 vary between iterations;
             # flexible GMRES is required (the reference's multilevel runs
             # use -hpddm_variant flexible for the same reason)
