@@ -78,21 +78,25 @@ def merge_scatter(plan: ScatterPlan, x_flat: jax.Array, vals: jax.Array,
     K = plan.pos.shape[0]
 
     def kernel(starts_ref, pos_ref, val_ref, x_ref, out_ref):
+        # one-hot accumulate: Mosaic rejects dynamic element stores, so each
+        # slot update is a (BR, 128) select against an iota mask — ~2 VPU
+        # ops per slot, fine for the sparse interface footprint
         b = pl.program_id(0)
-        out_ref[...] = x_ref[...]
         lo = starts_ref[b]
         hi = starts_ref[b + 1]
         base = b * BR * 128
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 0)
+        lane_io = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 1)
 
-        def body(i, _):
+        def body(i, acc):
             p = pos_ref[i] - base
             row = p // 128
             lane = p - row * 128
-            out_ref[pl.ds(row, 1), pl.ds(lane, 1)] = \
-                val_ref[pl.ds(i, 1)].reshape(1, 1)
-            return 0
+            v = val_ref[i]
+            hit = (row_io == row) & (lane_io == lane)
+            return jnp.where(hit, v, acc)
 
-        jax.lax.fori_loop(lo, hi, body, 0)
+        out_ref[...] = jax.lax.fori_loop(lo, hi, body, x_ref[...])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -87,8 +87,9 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                     "Number of Lanczos basis vectors per shift-invert restart "
                     "(analogue of -hpddm_arpack_ncv)"),
     # Local solver selection (TPU-specific: replaces the SUBDOMAIN compile-time plug-in)
-    "local_solver": ("enum", "inv", ("inv", "lu", "chol", "qr"),
-                     "Batched local factorization strategy on TPU"),
+    "local_solver": ("enum", "inv", ("inv", "lu", "chol", "qr", "fft"),
+                     "Batched local solve strategy on TPU (fft = DST fast "
+                     "Poisson for grid subdomains, O(n log n), no factors)"),
     "coarse_dtype": ("enum", None, ("same", "float32", "bfloat16"),
                      "Precision of the coarse operator (HPDDM_MIXED_PRECISION analogue)"),
 }

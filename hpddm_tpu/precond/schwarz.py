@@ -384,6 +384,25 @@ class Schwarz:
                                         variant=variant)
             self._state = state
             return state
+        if local_kind == "fft":
+            # DST-based fast Poisson local solver (grid geometry required;
+            # set via set_grid_geometry). O(n log n) applies, no factors.
+            from hpddm_tpu.ops.fft_solve import build_fft_solver
+            geo = getattr(self, "_grid_geometry", None)
+            if geo is None:
+                raise ValueError("local_solver=fft requires "
+                                 "set_grid_geometry(boxes, Nx, Ny)")
+            boxes, Nx, Ny = geo
+            dt = dtype if dtype is not None else self.A.values.dtype
+            solver = build_fft_solver(boxes, Nx, Ny, self.n_max, dtype=dt)
+            coarse = None
+            correction = opt.val("schwarz_coarse_correction", prefix=pfx)
+            if correction is not None:
+                coarse = self._build_coarse(correction, jnp.dtype(dt))
+            state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
+                                 coarse=coarse, variant=variant)
+            self._state = state
+            return state
         if self.optimized_mats is not None and \
                 variant in ("oras", "soras", "osm"):
             A_fact = batched_dense_from(pack_local_matrices(
@@ -415,6 +434,11 @@ class Schwarz:
         numbering (the driver's ``A.exchange<true>(f, mu)``)."""
         fp = self.dec.permute(jnp.asarray(f))
         return self.dec.unpermute(scaled_exchange(self.dec, fp))
+
+    def set_grid_geometry(self, boxes, Nx: int, Ny: int) -> None:
+        """Attach grid geometry (the generator's subdomain boxes) enabling
+        -hpddm_local_solver fft."""
+        self._grid_geometry = (list(boxes), int(Nx), int(Ny))
 
     def operator_state(self) -> SchwarzState:
         """State without any factorization: supports gmv/compute_residual
