@@ -120,6 +120,70 @@ def _solve_gevp_dense_np(A_neu: np.ndarray, B: np.ndarray, nu_max: int,
     return lam_out, V_out
 
 
+def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
+                       ncv: int = None, seed: int = 0,
+                       dtype=jnp.float64):
+    """Shift-invert Lanczos for the pencil A v = lambda B v at sigma = 0 —
+    the matrix-free analogue of the reference's ARPACK mode-3 loop
+    (HPDDM_ARPACK.hpp:84-151), batched over subdomains, for local sizes
+    where the dense pencil (solve_gevp_dense) is out of reach.
+
+    apply_Ainv(x): (S, n, 1) -> A^-1 x  (exact or inner-Krylov; the
+        reference applies the factorized Neumann matrix here)
+    apply_B(x):    (S, n, 1) -> B x     (the overlap-masked D A D)
+
+    B-orthonormal Lanczos with full reorthogonalization on the operator
+    A^-1 B; the largest Ritz values theta give the smallest pencil
+    eigenvalues lambda = 1/theta. Returns (lam (S, nu_max), V (S, n,
+    nu_max))."""
+    if ncv is None:
+        ncv = max(2 * nu_max + 1, 12)
+    ncv = min(ncv, n)
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.normal(size=(S, n, 1)), dtype=dtype)
+
+    def b_dot(x, y):
+        return jnp.einsum("snm,snm->s", x, apply_B(y))
+
+    basis = []          # B-orthonormal Krylov vectors (S, n, 1)
+    nrm = jnp.sqrt(jnp.abs(b_dot(v, v)))
+    v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
+    for j in range(ncv):
+        basis.append(v)
+        w = apply_Ainv(apply_B(v))
+        # full B-reorthogonalization (twice) against the stored basis
+        for _ in range(2):
+            for u in basis:
+                w = w - b_dot(u, w)[:, None, None] * u
+        beta = jnp.sqrt(jnp.abs(b_dot(w, w)))
+        v = w / jnp.maximum(beta, 1e-30)[:, None, None]
+
+    # small projected problem per subdomain: T = V^T_B (A^-1 B) V_B is
+    # symmetric in the B-inner product; build it densely from the basis
+    # (full reorthogonalization makes the tridiagonal assumption fragile)
+    V = jnp.concatenate([b[:, :, 0:1] for b in basis], axis=2)  # (S, n, ncv)
+    OpV = jnp.stack([apply_Ainv(apply_B(b))[:, :, 0] for b in basis],
+                    axis=2)                                      # (S, n, ncv)
+    BV = jnp.stack([apply_B(b)[:, :, 0] for b in basis], axis=2)
+    T = jnp.einsum("snj,snk->sjk", BV, OpV)                      # V^T B Op V
+    T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
+    T_np = np.asarray(T)
+    lam_out = np.full((S, nu_max), np.inf)
+    Y_out = np.zeros((S, ncv, nu_max))
+    for s in range(S):
+        w_s, y_s = np.linalg.eigh(T_np[s])
+        order = np.argsort(-w_s)[:nu_max]
+        theta = w_s[order]
+        good = theta > 1e-12
+        lam_out[s, : len(order)] = np.where(good, 1.0 / np.where(
+            good, theta, 1.0), np.inf)
+        Y_out[s, :, : len(order)] = y_s[:, order]
+    Vec = jnp.einsum("snj,sjk->snk", V, jnp.asarray(Y_out, dtype=dtype))
+    nrm = jnp.linalg.norm(Vec, axis=1, keepdims=True)
+    Vec = Vec / jnp.where(nrm > 0, nrm, 1.0)
+    return jnp.asarray(lam_out, dtype=dtype), Vec
+
+
 def select_nu(eigenvalues: np.ndarray, nu_req: np.ndarray,
               threshold: Optional[float] = None,
               force_uniformity: Optional[str] = None,

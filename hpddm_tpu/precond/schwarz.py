@@ -316,7 +316,7 @@ class Schwarz:
                                    for s, v in enumerate(vecs)]
 
     def solve_gevp(self, neumann: Sequence[MatrixCSR],
-                   nu=None) -> np.ndarray:
+                   nu=None, method: str = "auto") -> np.ndarray:
         """GenEO: local pencil A_neu v = lambda (DAD|overlap) v
         (``Schwarz::solveGEVP``, HPDDM_schwarz.hpp:665-715). Smallest-lambda
         eigenvectors become the deflation vectors; returns nu per subdomain.
@@ -336,11 +336,18 @@ class Schwarz:
             else np.asarray(nu, dtype=np.int64)
         nu_max_req = int(max(1, nu_req.max()))
 
-        A_neu = batched_dense_from(pack_local_matrices(
-            self._permuted(neumann), n_max=self.n_max, fmt="dense",
-            pad_identity=True))
-        B = scale_into_overlap(self.A, self.dec)
-        lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
+        if method == "auto":
+            method = "lanczos" if (self.n_max > 6000 or
+                                   opt.val("local_solver",
+                                           prefix=pfx) == "fft") else "dense"
+        if method == "lanczos":
+            lam, V = self._solve_gevp_lanczos(neumann, nu_max_req)
+        else:
+            A_neu = batched_dense_from(pack_local_matrices(
+                self._permuted(neumann), n_max=self.n_max, fmt="dense",
+                pad_identity=True))
+            B = scale_into_overlap(self.A, self.dec)
+            lam, V = solve_gevp_dense(A_neu, B, nu_max_req)
         lam_np = np.array(lam)
         V_np = np.array(V)  # writable: force-uniformity may pad columns
         threshold = opt.val("geneo_threshold", prefix=pfx)
@@ -367,6 +374,73 @@ class Schwarz:
                     np.savetxt(fh, V_np[s, : self.mats[s].n,
                                         : int(nu_loc[s])])
         return nu_loc
+
+    def _solve_gevp_lanczos(self, neumann: Sequence[MatrixCSR],
+                            nu_max_req: int):
+        """Matrix-free GenEO for large subdomains: shift-invert Lanczos on
+        A_neu^-1 B with inner-CG applies of A_neu^-1 preconditioned by the
+        configured local solver (the ARPACK reverse-communication loop of
+        HPDDM_ARPACK.hpp:113-148, TPU-batched)."""
+        import jax
+        from hpddm_tpu.precond.geneo import solve_gevp_lanczos
+        from hpddm_tpu.ops.spmv import spmm
+        dec = self.dec
+        A_neu_p = pack_local_matrices(self._permuted(neumann),
+                                      n_max=self.n_max, fmt="auto",
+                                      pad_identity=True)
+        mask = (dec.ov_mask.astype(dec.d.dtype) * dec.d)
+
+        def apply_B(x):
+            return mask[:, :, None] * spmm(self.A, mask[:, :, None] * x)
+
+        # inner preconditioner: the configured local solver on the
+        # *assembled* matrix (spectrally close to the Neumann matrix)
+        opt = self.opt
+        kind = opt.val("local_solver", prefix=getattr(self, "prefix", ""))
+        if kind == "fft":
+            from hpddm_tpu.ops.fft_solve import build_fft_solver
+            boxes, Nx, Ny = self._grid_geometry
+            prec = build_fft_solver(boxes, Nx, Ny, self.n_max,
+                                    dtype=dec.d.dtype)
+        else:
+            prec = factorize(batched_dense_from(self.A), kind="inv")
+
+        # diagonal regularization of the (possibly singular) Neumann matrix
+        diag_scale = float(np.mean([np.abs(m.scipy().diagonal()).mean()
+                                    for m in neumann]))
+        eps_reg = 1e-8 * diag_scale
+
+        def apply_Aneu(x):
+            return spmm(A_neu_p, x) + eps_reg * x
+
+        inner_its = 25
+
+        def apply_Ainv(r):
+            # fixed-iteration preconditioned CG (jittable, batched)
+            x = jnp.zeros_like(r)
+            res = r
+            z = prec.solve(res)
+            p = z
+            rz = jnp.einsum("snm,snm->s", res, z)
+            for _ in range(inner_its):
+                Ap = apply_Aneu(p)
+                pAp = jnp.einsum("snm,snm->s", p, Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, 1.0)
+                x = x + alpha[:, None, None] * p
+                res = res - alpha[:, None, None] * Ap
+                z = prec.solve(res)
+                rz_new = jnp.einsum("snm,snm->s", res, z)
+                beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+                p = z + beta[:, None, None] * p
+                rz = rz_new
+            return x
+
+        ncv = opt.val("lanczos_ncv")
+        lam, V = solve_gevp_lanczos(
+            jax.jit(apply_Ainv), jax.jit(apply_B), dec.S, self.n_max,
+            nu_max_req, ncv=int(ncv) if ncv else None,
+            dtype=dec.d.dtype)
+        return lam, V
 
     def build(self, dtype=None) -> SchwarzState:
         """Factorize local solvers (+ coarse operator) and return the state
