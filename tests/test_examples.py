@@ -1,0 +1,43 @@
+"""CLI drivers exercised end-to-end in subprocesses (the cross-language
+consistency role of the reference's make test: every driver must exit 0
+under its embedded oracles)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+
+def _run(args, timeout=500):
+    bootstrap = (
+        "import sys, jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        f"sys.argv = ['x'] + {args[1:]!r}; "
+        f"import runpy; runpy.run_path({os.path.join(ROOT, args[0])!r}, "
+        "run_name='__main__')")
+    return subprocess.run([sys.executable, "-c", bootstrap], cwd=ROOT,
+                          env=ENV, timeout=timeout, capture_output=True,
+                          text=True)
+
+
+@pytest.mark.parametrize("args", [
+    ["examples/schwarz.py", "-N", "4", "-Nx", "50", "-Ny", "50"],
+    ["examples/schwarz.py", "-N", "4", "-Nx", "50", "-Ny", "50",
+     "-hpddm_schwarz_coarse_correction", "deflated", "-hpddm_geneo_nu", "4"],
+    ["examples/solver.py"],
+    ["examples/iterative.py"],
+])
+def test_driver_exits_zero(args):
+    r = _run(args)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_driver_gcrodr_sequence():
+    r = _run(["examples/driver.py"], timeout=500)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "GCRODR" in r.stdout

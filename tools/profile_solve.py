@@ -58,10 +58,9 @@ def main():
     gram_j = jax.jit(lambda VV, y: op.gram(VV, y))
 
     # local solver alone
+    from hpddm_tpu.parallel.ops import scaled_exchange
     ls_j = jax.jit(lambda x: state.solver.solve(x))
-    exch_j = jax.jit(lambda x: sz.scaled_exchange.__wrapped__(state.dec, x)
-                     if hasattr(sz.scaled_exchange, "__wrapped__")
-                     else sz.scaled_exchange(state.dec, x))
+    exch_j = jax.jit(lambda x: scaled_exchange(state.dec, x))
 
     print(f"backend={jax.default_backend()} dtype={dtype.__name__} "
           f"S={S} n_max={sch.n_max}")
