@@ -124,16 +124,19 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         V = V.at[0].set(r / safe_beta)
         Z = jnp.zeros((m, S, n, mu), dtype=dtype) if flexible else None
         H = jnp.zeros((m, m + 1, mu), dtype=dtype)
-        cs = jnp.zeros((m, mu), dtype=dtype)
-        sn = jnp.zeros((m, mu), dtype=dtype)
+        # accumulated rotation product Q (m+1, m+1, mu): applying all
+        # previous Givens rotations to a new column is ONE small matvec
+        # instead of an i-step sequential loop (same arithmetic, ~40x
+        # fewer kernels in the hot loop)
+        Q = jnp.broadcast_to(jnp.eye(m + 1, dtype=dtype)[:, :, None],
+                             (m + 1, m + 1, mu)).copy()
         svec = jnp.zeros((m + 1, mu), dtype=dtype).at[0].set(beta.astype(dtype))
 
         class Inner(NamedTuple):
             V: jax.Array
             Z: Optional[jax.Array]
             H: jax.Array
-            cs: jax.Array
-            sn: jax.Array
+            Q: jax.Array
             svec: jax.Array
             i: jax.Array
             it: jax.Array
@@ -176,22 +179,18 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             V_new = st.V.at[st.i + 1].set(w / safe_hn)
             h = h.at[st.i + 1].set(hn)
 
-            # --- apply previous Givens rotations to the new column ----
-            def rot_body(j, hcol):
-                hj, hj1 = hcol[j], hcol[j + 1]
-                new_j = jnp.conj(st.cs[j]) * hj + jnp.conj(st.sn[j]) * hj1
-                new_j1 = -st.sn[j] * hj + st.cs[j] * hj1
-                apply_it = j < st.i
-                return hcol.at[j].set(jnp.where(apply_it, new_j, hj)) \
-                           .at[j + 1].set(jnp.where(apply_it, new_j1, hj1))
-            h = lax.fori_loop(0, m, rot_body, h)
+            # --- apply all previous rotations in one matvec -----------
+            h = jnp.einsum("ijm,jm->im", st.Q, h)
 
             hi = h[st.i]
             hi1 = h[st.i + 1]
             c, s_, rr = _givens(hi, hi1)
             h = h.at[st.i].set(rr.astype(dtype)).at[st.i + 1].set(0)
-            cs_new = st.cs.at[st.i].set(c.astype(dtype))
-            sn_new = st.sn.at[st.i].set(s_.astype(dtype))
+            # fold the new rotation into the product: rows i, i+1 of Q
+            qi = st.Q[st.i]
+            qi1 = st.Q[st.i + 1]
+            Q_new = st.Q.at[st.i].set(jnp.conj(c) * qi + jnp.conj(s_) * qi1) \
+                        .at[st.i + 1].set(-s_ * qi + c * qi1)
             si = st.svec[st.i]
             svec_new = st.svec.at[st.i + 1].set((-s_ * si).astype(dtype)) \
                                .at[st.i].set((jnp.conj(c) * si).astype(dtype))
@@ -204,11 +203,11 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             all_conv = jnp.all(crossed)
             hist = st.hist.at[jnp.minimum(st.it, max_it)].set(
                 (res / norm).astype(st.hist.dtype))
-            return Inner(V_new, Z_new, H_new, cs_new, sn_new, svec_new,
+            return Inner(V_new, Z_new, H_new, Q_new, svec_new,
                          st.i + 1, st.it + 1, first_new, res, all_conv,
                          hist)
 
-        st0 = Inner(V, Z, H, cs, sn, svec, jnp.int32(0), carry.it,
+        st0 = Inner(V, Z, H, Q, svec, jnp.int32(0), carry.it,
                     carry.first_it, carry.res, jnp.array(False),
                     carry.hist)
         stf = lax.while_loop(inner_cond, inner_body, st0)
