@@ -99,7 +99,13 @@ def main(argv=None):
         print(f"{lead}{float(np.asarray(nr)[nu_i]):.6e} / "
               f"{float(np.asarray(nb)[nu_i]):.6e}{tail}")
     if verbosity:
-        print(f"iterations: {it}")
+        print(f"GMRES converges after {it} iteration"
+              + ("s" if it != 1 else ""))
+    if verbosity >= 2 and getattr(res, "history", None) is not None:
+        h = np.asarray(res.history)
+        for i, v in enumerate(h[:, 0]):
+            if v >= 0:
+                print(f"  it {i:4d}  rel res {v:.6e}")
 
     cap = 60 if opt.val("krylov_method") == "bfbcg" else 45
     if it > cap:

@@ -261,6 +261,7 @@ class Options:
                         pass
         tokens: List[str] = list(args)
         i = 0
+        cur_prefix = ""          # -hpddm_push_prefix X ... -hpddm_pop_prefix
         while i < len(tokens):
             tok = tokens[i]
             i += 1
@@ -270,6 +271,18 @@ class Options:
             is_hpddm = body.startswith("hpddm_")
             if is_hpddm:
                 body = body[len("hpddm_"):]
+            if is_hpddm and body.startswith("push_prefix"):
+                if "=" in body:
+                    cur_prefix = body.split("=", 1)[1]
+                elif i < len(tokens) and not tokens[i].startswith("-"):
+                    cur_prefix = tokens[i]
+                    i += 1
+                continue
+            if is_hpddm and body == "pop_prefix":
+                cur_prefix = ""
+                continue
+            if is_hpddm and cur_prefix:
+                body = cur_prefix + body
             if "=" in body:
                 key, value = body.split("=", 1)
             else:

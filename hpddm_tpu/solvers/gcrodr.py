@@ -363,7 +363,7 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
     v0 = r / safe_beta
 
     def body(carry, i):
-        V, H, B, s_vec, cs, sn, crossing = carry
+        V, H, B, s_vec, Q, crossing = carry
         vi = V[i]
         w = op_apply(vi)
         if C is not None:
@@ -380,43 +380,37 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
         V = V.at[i + 1].set(w / safe_hn)
         hcol = h[:, 0].at[i + 1].set(hn)
 
-        # Givens rotations for residual tracking
-        def rot(j, hc):
-            hj, hj1 = hc[j], hc[j + 1]
-            nj = jnp.conj(cs[j]) * hj + jnp.conj(sn[j]) * hj1
-            nj1 = -sn[j] * hj + cs[j] * hj1
-            app = j < i
-            return hc.at[j].set(jnp.where(app, nj, hj)) \
-                     .at[j + 1].set(jnp.where(app, nj1, hj1))
-        hrot = lax.fori_loop(0, p, rot, hcol)
+        # accumulated rotation product (see solvers/gmres.py)
+        hrot = Q @ hcol
         hi, hi1 = hrot[i], hrot[i + 1]
         denom = jnp.sqrt(jnp.abs(hi) ** 2 + jnp.abs(hi1) ** 2)
         safe_d = jnp.where(denom > 0, denom, 1.0)
         c_new = jnp.where(denom > 0, hi / safe_d, 1.0)
         s_new = jnp.where(denom > 0, hi1 / safe_d, 0.0)
-        cs = cs.at[i].set(c_new)
-        sn = sn.at[i].set(s_new)
+        qi, qi1 = Q[i], Q[i + 1]
+        Q = Q.at[i].set(jnp.conj(c_new) * qi + jnp.conj(s_new) * qi1) \
+             .at[i + 1].set(-s_new * qi + c_new * qi1)
         si = s_vec[i]
         s_vec = s_vec.at[i + 1].set(-s_new * si).at[i].set(jnp.conj(c_new) * si)
         res = jnp.abs(s_vec[i + 1])
         glob_it = (it0 + i).astype(jnp.int32)
         hit = (res <= tol * norm) & (crossing == 0) & (glob_it <= max_it)
         crossing = jnp.where(hit, glob_it, crossing)
+        # store the *unrotated* column; the LS solve uses H directly
         H = H.at[:, i].set(hcol)
         B = B.at[:, i].set(Bcol) if k else B
-        return (V, H, B, s_vec, cs, sn, crossing), res
+        return (V, H, B, s_vec, Q, crossing), res
 
     V0 = jnp.zeros((p + 1, S, n, mu), dtype=dtype).at[0].set(v0)
     H0 = jnp.zeros((p + 1, p), dtype=dtype)
     B0 = jnp.zeros((k, p), dtype=dtype)
     s0 = jnp.zeros((p + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
-    cs0 = jnp.zeros((p,), dtype=dtype)
-    sn0 = jnp.zeros((p,), dtype=dtype)
+    Q0 = jnp.eye(p + 1, dtype=dtype)
 
     @jax.jit
     def run():
-        (V, H, B, s_vec, cs, sn, crossing), res_seq = lax.scan(
-            body, (V0, H0, B0, s0, cs0, sn0, jnp.int32(0)), jnp.arange(p))
+        (V, H, B, s_vec, Q, crossing), res_seq = lax.scan(
+            body, (V0, H0, B0, s0, Q0, jnp.int32(0)), jnp.arange(p))
         return V, H, B, crossing, res_seq
 
     V, H, B, crossing, res_seq = run()
