@@ -324,6 +324,12 @@ class Schwarz:
         nu: scalar or (S,) requested counts; defaults to -hpddm_geneo_nu.
         Threshold / force-uniformity honor -hpddm_geneo_threshold and
         -hpddm_geneo_force_uniformity.
+
+        ``neumann`` must be genuine (unassembled/Neumann) SPSD local
+        matrices — like the reference, which requires an auxiliary matrix
+        for GenEO (PCHPDDMSetAuxiliaryMat): feeding the assembled
+        restrictions here yields an indefinite pencil and a corrupted
+        coarse space.
         """
         from hpddm_tpu.precond.geneo import (scale_into_overlap,
                                              solve_gevp_dense, select_nu)
