@@ -66,6 +66,10 @@ class CoarseState:
                                          metadata=dict(static=True))
     inner_max_it: int = dataclasses.field(default=50,
                                           metadata=dict(static=True))
+    # third level (iterative mode): constant-per-block deflation of E —
+    # the buildThree recursion collapsed to its algebraic core
+    E2_inv: Optional[jax.Array] = None   # (S, S) inverse of Z2^T E Z2
+    Z2: Optional[jax.Array] = None       # (N_c, S) block indicators
 
 
 @jax.tree_util.register_dataclass
@@ -161,7 +165,13 @@ def _coarse_solve(co: CoarseState, c: jax.Array) -> jax.Array:
     Minv = co.E_inv                                          # block-Jacobi
 
     def prec(r):
-        return Minv @ r
+        z = Minv @ r
+        if co.E2_inv is not None:
+            # third level: deflated block-Jacobi (two-level additive
+            # Schwarz on the coarse problem — buildThree's role,
+            # HPDDM_inexact_coarse_operator.hpp:1328)
+            z = z + co.Z2 @ (co.E2_inv @ (co.Z2.T @ r))
+        return z
 
     r0 = cd
     z0 = prec(r0)
@@ -601,11 +611,17 @@ class Schwarz:
             binv = _inv(diag_blocks)
             Minv = jax.scipy.linalg.block_diag(
                 *[binv[s] for s in range(S)])
+            # third level: one constant vector per coarse block
+            Z2 = jnp.repeat(jnp.eye(S, dtype=E.dtype), nu_max, axis=0)
+            E2 = Z2.T @ (E @ Z2)
+            E2_inv = _inv(E2 + 1e-12 * jnp.trace(E2) / S
+                          * jnp.eye(S, dtype=E.dtype))
             return CoarseState(Z=Z, E_inv=Minv, E=E,
                                nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
                                correction=correction, mode="iterative",
                                inner_tol=float(lvl.val("tol", 1e-2)),
-                               inner_max_it=int(lvl.val("max_it", 50)))
+                               inner_max_it=int(lvl.val("max_it", 50)),
+                               E2_inv=E2_inv, Z2=Z2)
         E_inv = _inv(E)
         return CoarseState(Z=Z, E_inv=E_inv, E=None,
                            nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
