@@ -41,3 +41,15 @@ def test_driver_gcrodr_sequence():
     r = _run(["examples/driver.py"], timeout=500)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "GCRODR" in r.stdout
+
+
+@pytest.mark.parametrize("args", [
+    ["examples/helmholtz.py", "-N", "4", "-Nx", "40", "-k", "4.0",
+     "-eps", "0.1"],
+    ["examples/elasticity.py", "-N", "4", "-Nx", "16",
+     "-hpddm_schwarz_coarse_correction", "deflated",
+     "-hpddm_geneo_nu", "6"],
+])
+def test_model_drivers(args):
+    r = _run(args)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
