@@ -111,6 +111,159 @@ def _harmonic_ritz_general(G: np.ndarray, QhW: np.ndarray, k: int,
     return np.ascontiguousarray(q)
 
 
+def bgcrodr_fused(op: LinearOperator, b: jax.Array,
+                  x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
+                  restart: int = 40, max_it: int = 100,
+                  recycle: int = 0, target: str = "SM",
+                  recycled: Optional[RecycledSpace] = None,
+                  same_system: bool = False) -> "GCRODRResult":
+    """EXPERIMENTAL true block GCRO-DR — not wired into the dispatch.
+
+    The block Arnoldi/LS cycle is correct, but the recycle-space update
+    reuses the *first-cycle* harmonic Ritz formula every cycle; once the
+    space is deflated the square block Hessenberg no longer represents the
+    operator and the recycled space degrades (measured: slower than plain
+    BGMRES). The production path is ``bgcrodr`` (sequential shared-recycle,
+    validated); completing this needs the coupled-projection eigenproblem
+    of HPDDM_GCRODR.hpp:745-850 in block form."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    S, n, mu = b.shape
+    dtype = b.dtype
+    rdtype = underlying(dtype)
+    # p block steps per cycle so the space size matches restart ~ p*mu + k
+    k = int(recycle)
+    p = max((int(restart) - k) // mu, 1)
+
+    from hpddm_tpu.solvers.block import _block_dot, _chol_qr
+
+    def prec(x):
+        return op.apply(x)
+
+    def op_apply(x):
+        return op.gmv(prec(x))
+
+    norm = jnp.sqrt(jnp.abs(jnp.diagonal(
+        _block_dot(op, b, b)))).astype(rdtype)
+    norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
+
+    x = x0
+    r = b - op.gmv(x)
+    U = C = None
+    if k and recycled is not None and recycled.U.shape[-1] == k:
+        U, C = recycled.U, recycled.C
+        if not same_system:
+            AU = _apply_cols(op_apply, U)
+            Q, Rfac = _tall_qr(op, AU)
+            C, U = Q, _solve_right_tri(U, Rfac)
+        cr = _cross_j(op, C, r)                       # (k, mu)
+        x = x + prec(jnp.einsum("snk,km->snm", U, cr))
+        r = r - jnp.einsum("snk,km->snm", C, cr)
+
+    it = 1
+    first_it = np.zeros(mu, dtype=np.int64)
+    while it <= max_it:
+        Q0, R0 = _chol_qr(op, r)
+        V = [Q0]                                      # block basis
+        Z = []                                        # preconditioned blocks
+        Hb = np.zeros((p + 1, p, mu, mu))             # block Hessenberg
+        Bb = np.zeros((k, p, mu)) if k else None      # C-coupling
+        steps = 0
+        res = None
+        for i in range(p):
+            z = prec(V[i])
+            Z.append(z)
+            w = op.gmv(z)
+            if C is not None:
+                Bc = _cross_j(op, C, w)               # (k, mu)
+                w = w - jnp.einsum("snk,km->snm", C, Bc)
+                Bb[:, i, :] = np.asarray(Bc)
+            for j, Vj in enumerate(V):
+                Hij = _block_dot(op, Vj, w)
+                w = w - jnp.einsum("sna,ab->snb", Vj, Hij)
+                Hb[j, i] = np.asarray(Hij)
+            Qn, Rn = _chol_qr(op, w)
+            Hb[i + 1, i] = np.asarray(Rn)
+            V.append(Qn)
+            steps = i + 1
+            # block LS residual per RHS
+            Hmat = Hb[: i + 2, : i + 1].transpose(0, 2, 1, 3).reshape(
+                (i + 2) * mu, (i + 1) * mu)
+            rhs = np.zeros(((i + 2) * mu, mu))
+            rhs[:mu] = np.asarray(R0)
+            y, *_ = np.linalg.lstsq(Hmat, rhs, rcond=None)
+            res = np.linalg.norm(rhs - Hmat @ y, axis=0)
+            crossed = res <= tol * np.asarray(norm)
+            newly = (first_it == 0) & crossed
+            first_it[newly] = it
+            it += 1
+            if crossed.all() or it > max_it:
+                break
+
+        # solution update: x += M^-1 (V Y) + M^-1 (U Yu)  [coupled term]
+        Yb = jnp.asarray(y.reshape(steps, mu, mu), dtype=dtype)
+        # Z_i = M^-1 V_i: already in solution space — no further precondition
+        upd = sum(jnp.einsum("sna,am->snm", Z[i], Yb[i])
+                  for i in range(steps))
+        if k and U is not None:
+            # z-coefficients: zc = -B y (flattened over block columns);
+            # U lives in operator space, so its correction goes through M^-1
+            Bflat = Bb[:, :steps, :].reshape(k, steps * mu)
+            ymat = y[: steps * mu]
+            zc = -(Bflat @ ymat)                      # (k, mu)
+            upd = upd + prec(jnp.einsum("snk,km->snm", U,
+                                        jnp.asarray(zc, dtype=dtype)))
+        x = x + upd
+        r = b - op.gmv(x)
+        if C is not None:
+            cr = _cross_j(op, C, r)
+            x = x + prec(jnp.einsum("snk,km->snm", U, cr))
+            r = r - jnp.einsum("snk,km->snm", C, cr)
+
+        # recycle-space (re)construction from the square block Hessenberg
+        if k and steps == p and (first_it == 0).any():
+            d_sq = steps * mu
+            Hsq = Hb[:steps, :steps].transpose(0, 2, 1, 3).reshape(d_sq, d_sq)
+            Hlast = Hb[steps, steps - 1]              # (mu, mu)
+            corr = np.zeros((d_sq, d_sq))
+            try:
+                w_inv = np.linalg.solve(Hsq.T, np.eye(d_sq))
+                corr[:, -mu:] = w_inv[:, -mu:] @ (Hlast.T @ Hlast)
+            except np.linalg.LinAlgError:
+                pass
+            w_e, vr = np.linalg.eig(Hsq + corr)
+            idx = _select_ritz(w_e, k, target)
+            P = np.real(vr[:, idx])
+            Pq, _ = np.linalg.qr(P)
+            Pj = jnp.asarray(Pq.reshape(steps, mu, k), dtype=dtype)
+            U_new = sum(jnp.einsum("sna,ak->snk", V[i], Pj[i])
+                        for i in range(steps))
+            AUn = _apply_cols(op_apply, U_new)
+            Qn2, Rn2 = _tall_qr(op, AUn)
+            C = Qn2
+            U = _solve_right_tri(U_new, Rn2)
+        if (first_it > 0).all() or it > max_it:
+            break
+
+    rel = (np.asarray(res) / np.asarray(norm)) if res is not None \
+        else np.full(mu, np.inf)
+    its_arr = np.where(first_it > 0, first_it, min(it - 1, max_it))
+    rec = RecycledSpace(U=U, C=C) if (k and U is not None) else None
+    return GCRODRResult(x=x, iterations=jnp.int32(int(its_arr.max())),
+                        it_per_rhs=jnp.asarray(its_arr, jnp.int32),
+                        rel_res=jnp.asarray(rel),
+                        converged=jnp.asarray(first_it > 0),
+                        recycled=rec)
+
+
+def _cross_j(op: LinearOperator, Cols: jax.Array, y: jax.Array) -> jax.Array:
+    """(S,n,k)^H W y -> (k, mu) as a jax array."""
+    w = op.weight[:, :, None] if op.weight is not None else 1.0
+    from hpddm_tpu.parallel.ops import psum_if
+    return psum_if(jnp.einsum("snk,snm->km", jnp.conj(Cols), w * y),
+                   op.axis_name)
+
+
 def bgcrodr(op: LinearOperator, b: jax.Array,
             x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
             restart: int = 40, max_it: int = 100, variant: str = "right",
@@ -324,15 +477,21 @@ def _cross_stack(op: LinearOperator, V: jax.Array, U: jax.Array) -> np.ndarray:
 
 
 def _tall_qr(op: LinearOperator, U: jax.Array) -> Tuple[jax.Array, np.ndarray]:
-    """Distributed CholQR of (S, n, k) in the weighted inner product."""
+    """Distributed CholQR of (S, n, k) in the weighted inner product,
+    eigh-based for robustness to near-dependent columns."""
     G = _cross(op, U, U)
-    R = np.linalg.cholesky(G).T.conj()
-    Rinv = np.linalg.inv(R)
+    G = 0.5 * (G + G.conj().T)
+    w, V = np.linalg.eigh(G)
+    wmax = max(float(np.max(np.abs(w))), 1e-300)
+    keep = w > 1e-12 * wmax
+    sqrt_w = np.sqrt(np.where(keep, w, 1.0))
+    R = (V * np.where(keep, sqrt_w, 0.0)[None, :]) @ V.conj().T
+    Rinv = (V * np.where(keep, 1.0 / sqrt_w, 0.0)[None, :]) @ V.conj().T
     return _lincomb_mat(U, jnp.asarray(Rinv, dtype=U.dtype)), R
 
 
 def _solve_right_tri(U: jax.Array, R: np.ndarray) -> jax.Array:
-    return _lincomb_mat(U, jnp.asarray(np.linalg.inv(R), dtype=U.dtype))
+    return _lincomb_mat(U, jnp.asarray(np.linalg.pinv(R), dtype=U.dtype))
 
 
 def _ls_solve(H: np.ndarray, beta: float, used: int):
