@@ -152,6 +152,28 @@ class MatrixCSR:
         out = sp.csr_matrix(full_pattern + c)
         return MatrixCSR(out, sym=self.sym)
 
+    def restriction(self, indices) -> "MatrixCSR":
+        """Submatrix on a set of row/col indices (the restriction ctor,
+        HPDDM_matrix.hpp:246-277)."""
+        import numpy as _np
+        idx = _np.asarray(indices)
+        sub = self.scipy(expand=True)[idx, :][:, idx]
+        return MatrixCSR(sp.csr_matrix(sub))
+
+    def same_sparsity(self, other: "MatrixCSR") -> bool:
+        """Pattern equality (``sameSparsity`` in-place reuse check,
+        HPDDM_matrix.hpp:295-324)."""
+        a, b = self.scipy(expand=False), other.scipy(expand=False)
+        return (a.shape == b.shape and a.nnz == b.nnz
+                and (a.indptr == b.indptr).all()
+                and (a.indices == b.indices).all())
+
+    def update_values(self, other: "MatrixCSR") -> None:
+        """Replace values keeping the pattern (the sameSparsity fast path)."""
+        if not self.same_sparsity(other):
+            raise ValueError("sparsity patterns differ")
+        self._csr.data[:] = other.scipy(expand=False).data
+
     # -- dump -------------------------------------------------------------
     def dump(self, path_or_stream: Union[str, io.TextIOBase]) -> None:
         """Write the reference dump format (HPDDM_matrix.hpp:121-135)."""

@@ -100,10 +100,13 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
     if method == "gmres":
         from hpddm_tpu.precond import schwarz as _sz
         if isinstance(A, _sz.SchwarzState) and A.coarse is not None \
-                and A.coarse.mode == "iterative" and variant != "flexible":
-            # inexact coarse solves make M^-1 vary between iterations;
-            # flexible GMRES is required (the reference's multilevel runs
-            # use -hpddm_variant flexible for the same reason)
+                and variant != "flexible" \
+                and (A.coarse.mode == "iterative"
+                     or A.coarse.E_inv.dtype != b.dtype):
+            # inexact coarse solves (nested Krylov) or reduced-precision
+            # coarse casts make M^-1 effectively vary between applications;
+            # flexible GMRES absorbs it (the reference's multilevel /
+            # HPDDM_MIXED_PRECISION runs use -hpddm_variant flexible)
             variant = "flexible"
         return gmres(op, b, x0, tol=tol,
                      restart=int(opt.val("gmres_restart")),

@@ -102,3 +102,33 @@ def test_dump_reload_single_domain(tmp_path):
     r = np.asarray(b - op.gmv(res.x))
     rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
     assert rel < 1e-6
+
+
+def test_csr_restriction_and_same_sparsity():
+    from hpddm_tpu.core.csr import MatrixCSR
+    import scipy.sparse as sp
+    rng = np.random.default_rng(0)
+    A = MatrixCSR(sp.random(30, 30, density=0.2, format="csr",
+                            random_state=1) + sp.identity(30))
+    idx = np.array([0, 3, 5, 7, 11, 20])
+    R = A.restriction(idx)
+    np.testing.assert_allclose(R.dense(), A.dense()[np.ix_(idx, idx)])
+    B = MatrixCSR(A.scipy() * 2.0)
+    assert A.same_sparsity(B)
+    A.update_values(B)
+    np.testing.assert_allclose(A.dense(), B.dense())
+
+
+def test_bfloat16_coarse():
+    """bf16 coarse operator still converges within the relaxed cap."""
+    S = 4
+    gen, sch, f = _setup(S, Nx=60, Ny=60, with_neumann=True,
+                         schwarz_coarse_correction="deflated", geneo_nu=6,
+                         coarse_dtype="bfloat16")
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    assert str(state.coarse.E_inv.dtype) == "bfloat16"
+    res = solve(state, f, opt=sch.opt)
+    nb, nr = compute_residual(state, res.x, f)
+    assert int(res.iterations) <= 60
+    assert float(nr[0] / nb[0]) <= 1e-2
