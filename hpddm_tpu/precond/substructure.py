@@ -294,8 +294,11 @@ class Substructure:
         (``Schur::solveGEVP``'s potrf/gst/trd/stebz/stein pipeline,
         HPDDM_schur.hpp:161-271), smallest-lambda traces. The selected
         vectors enrich both coarse spaces: BDD's balancing space (appended
-        to the Schur kernels) and FETI's projection (columns B D v appended
-        to G). Returns the enriched state (also stored on self)."""
+        to the Schur kernels) and, with ``feti_deflation=True``, FETI's
+        dual space (columns B D v, projected into the kernel-constraint
+        complement and used as an F-orthogonal deflation space for the
+        projected operator P F P^T). Returns the enriched state (also
+        stored on self)."""
         st = self.state
         S, nb, _ = st.S_b.shape
         D = st.scaling
@@ -337,10 +340,6 @@ class Substructure:
                 full[0, bsel[msk], 0] = (np.asarray(D[s]) * V_np[s, :, k])[msk]
                 g_cols.append(full)
         G_def = FG_def = GFG_inv = None
-        # NOTE: lambda-space GenEO deflation for FETI is experimental — the
-        # kernel constraint projector and the F-orthogonal deflation
-        # projector do not commute, which currently degrades the primal
-        # recovery; BDD balancing enrichment (above) is the supported path.
         if g_cols and feti_deflation:
             # per-subdomain block: each column lives only on its subdomain
             Xb = np.zeros((S, self.n_max, len(g_cols)))
@@ -350,13 +349,18 @@ class Substructure:
                     Xb[s, :, c] = np.asarray(g_cols[c])[0, :, 0]
                     c += 1
             Gx = np.asarray(b_apply(st, jnp.asarray(Xb)))     # (N_l, nd)
-            # keep only directions with nonzero jump, orthonormalized
+            # project into the kernel-constraint complement FIRST: the
+            # deflation must be F-orthogonal w.r.t. the *projected*
+            # operator P F P^T, not F itself (otherwise the two projectors
+            # fight and the primal recovery breaks)
+            Gx = np.asarray(feti_project(st, jnp.asarray(Gx)))
             q, r = np.linalg.qr(Gx)
             keep = np.abs(np.diag(r)) > 1e-10 * max(
                 np.abs(np.diag(r)).max(), 1e-30)
             Gx = q[:, keep]
             if Gx.shape[1]:
-                FG = np.asarray(feti_operator(st, jnp.asarray(Gx)))
+                FG = np.asarray(feti_project(
+                    st, feti_operator(st, jnp.asarray(Gx))))
                 GFG = Gx.T @ FG
                 G_def = jnp.asarray(Gx)
                 FG_def = jnp.asarray(FG)
@@ -473,8 +477,8 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
 
     defl = st.G_def is not None
     if defl:
-        # deflation initialization: solve the coarse dual problem exactly
-        r_tmp = d - feti_operator(st, lam0, axis_name)
+        # deflation initialization on the constraint-projected residual
+        r_tmp = feti_project(st, d - feti_operator(st, lam0, axis_name))
         lam0 = lam0 + st.G_def @ (st.GFG_inv @ (st.G_def.T.conj() @ r_tmp))
     r0 = feti_project(st, d - feti_operator(st, lam0, axis_name))
     norm = jnp.sqrt(jnp.sum(jnp.abs(r0) ** 2, axis=0)).astype(rdtype)

@@ -117,6 +117,26 @@ def test_feti_preconditioner_variants(precond):
     _check_solution(gen, res.u, atol=1e-5)
 
 
+def test_geneo_enrichment():
+    """Schur::solveGEVP enrichment (HPDDM_schur.hpp:161-271): the selected
+    traces enlarge BDD's balancing space and, with ``feti_deflation=True``,
+    deflate FETI's projected operator P F P^T. Both must cut iterations on
+    a high-contrast split while keeping the primal solution exact."""
+    gen = nonoverlap.generate(9, 24, 24, contrast=1e4, checker=6)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    f = _pack_f(gen, sub)
+    base = feti_solve(sub.state, f, tol=1e-9, max_it=400)
+    st = sub.solve_gevp(nu=6, feti_deflation=True)
+    defl = feti_solve(st, f, tol=1e-9, max_it=400)
+    assert int(defl.iterations) < int(base.iterations)
+    _check_solution(gen, defl.u, atol=1e-5)
+    base_bdd = bdd_solve(sub.state, f, tol=1e-9, max_it=400)
+    enr_bdd = bdd_solve(st, f, tol=1e-9, max_it=400)
+    # balancing enrichment must never hurt, and the solution stays exact
+    assert int(enr_bdd.iterations) <= int(base_bdd.iterations)
+    _check_solution(gen, enr_bdd.u, atol=1e-5)
+
+
 def test_stiffness_scaling():
     """-hpddm_substructuring_scaling stiffness on a heterogeneous split."""
     from hpddm_tpu.options import Options
