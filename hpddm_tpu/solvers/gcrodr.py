@@ -117,15 +117,19 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                   recycle: int = 0, target: str = "SM",
                   recycled: Optional[RecycledSpace] = None,
                   same_system: bool = False) -> "GCRODRResult":
-    """EXPERIMENTAL true block GCRO-DR — not wired into the dispatch.
+    """True block GCRO-DR (HPDDM_GCRODR.hpp:446-907): one fused block
+    Krylov space over all RHS, deflated restarting via block harmonic Ritz.
 
-    The block Arnoldi/LS cycle is correct, but the recycle-space update
-    reuses the *first-cycle* harmonic Ritz formula every cycle; once the
-    space is deflated the square block Hessenberg no longer represents the
-    operator and the recycled space degrades (measured: slower than plain
-    BGMRES). The production path is ``bgcrodr`` (sequential shared-recycle,
-    validated); completing this needs the coupled-projection eigenproblem
-    of HPDDM_GCRODR.hpp:745-850 in block form."""
+    First full cycle: harmonic Ritz of the square block Hessenberg with
+    the rank-mu correction Hsq^{-H} e_p (H_last^H H_last) e_p^H
+    (the block form of HPDDM_GCRODR.hpp:676-707). Later cycles: the
+    coupled-projection pencil over [U, V_p] — op([U, V_p]) =
+    [C, V_{p+1}] G with G = [[I, B], [0, Hbar]] — solved with the same
+    Parks strategy-A generalized eigenproblem as the mu=1 path
+    (HPDDM_GCRODR.hpp:745-850). Right-preconditioned only (the variant
+    the reference defaults to). Dispatched for krylov_method=bgcrodr
+    with mu > 1; ``bgcrodr`` (sequential shared-recycle) remains the
+    gcrodr-with-multiple-RHS path."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     S, n, mu = b.shape
@@ -163,11 +167,12 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
     it = 1
     first_it = np.zeros(mu, dtype=np.int64)
     while it <= max_it:
+        kc = U.shape[-1] if U is not None else 0      # current space width
         Q0, R0 = _chol_qr(op, r)
         V = [Q0]                                      # block basis
         Z = []                                        # preconditioned blocks
         Hb = np.zeros((p + 1, p, mu, mu))             # block Hessenberg
-        Bb = np.zeros((k, p, mu)) if k else None      # C-coupling
+        Bb = np.zeros((kc, p, mu)) if kc else None    # C-coupling
         steps = 0
         res = None
         for i in range(p):
@@ -205,10 +210,10 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
         # Z_i = M^-1 V_i: already in solution space — no further precondition
         upd = sum(jnp.einsum("sna,am->snm", Z[i], Yb[i])
                   for i in range(steps))
-        if k and U is not None:
+        if kc:
             # z-coefficients: zc = -B y (flattened over block columns);
             # U lives in operator space, so its correction goes through M^-1
-            Bflat = Bb[:, :steps, :].reshape(k, steps * mu)
+            Bflat = Bb[:, :steps, :].reshape(kc, steps * mu)
             ymat = y[: steps * mu]
             zc = -(Bflat @ ymat)                      # (k, mu)
             upd = upd + prec(jnp.einsum("snk,km->snm", U,
@@ -220,28 +225,54 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
             x = x + prec(jnp.einsum("snk,km->snm", U, cr))
             r = r - jnp.einsum("snk,km->snm", C, cr)
 
-        # recycle-space (re)construction from the square block Hessenberg
+        # recycle-space (re)construction (end of a full block cycle)
         if k and steps == p and (first_it == 0).any():
-            d_sq = steps * mu
-            Hsq = Hb[:steps, :steps].transpose(0, 2, 1, 3).reshape(d_sq, d_sq)
-            Hlast = Hb[steps, steps - 1]              # (mu, mu)
-            corr = np.zeros((d_sq, d_sq))
-            try:
-                w_inv = np.linalg.solve(Hsq.T, np.eye(d_sq))
-                corr[:, -mu:] = w_inv[:, -mu:] @ (Hlast.T @ Hlast)
-            except np.linalg.LinAlgError:
-                pass
-            w_e, vr = np.linalg.eig(Hsq + corr)
-            idx = _select_ritz(w_e, k, target)
-            P = np.real(vr[:, idx])
-            Pq, _ = np.linalg.qr(P)
-            Pj = jnp.asarray(Pq.reshape(steps, mu, k), dtype=dtype)
-            U_new = sum(jnp.einsum("sna,ak->snk", V[i], Pj[i])
-                        for i in range(steps))
-            AUn = _apply_cols(op_apply, U_new)
-            Qn2, Rn2 = _tall_qr(op, AUn)
-            C = Qn2
-            U = _solve_right_tri(U_new, Rn2)
+            pd = steps * mu
+            Hflat = Hb[: steps + 1, :steps].transpose(0, 2, 1, 3).reshape(
+                (steps + 1) * mu, pd)                 # block-major flatten
+            Vp = jnp.concatenate(V[:steps], axis=-1)  # (S, n, p*mu)
+            Vs = jnp.concatenate(V[: steps + 1], axis=-1)
+            if C is None:
+                # first cycle: block harmonic Ritz of the square Hessenberg
+                # with the rank-mu correction Hsq^{-H} e_p (H_last^H H_last)
+                Hsq = Hflat[:pd]
+                Hlast = Hb[steps, steps - 1]          # (mu, mu)
+                corr = np.zeros((pd, pd))
+                try:
+                    w_inv = np.linalg.solve(Hsq.T, np.eye(pd))
+                    corr[:, -mu:] = w_inv[:, -mu:] @ (Hlast.T @ Hlast)
+                except np.linalg.LinAlgError:
+                    pass
+                w_e, vr = np.linalg.eig(Hsq + corr)
+                idx = _select_ritz(w_e, min(k, pd), target)
+                P, _ = np.linalg.qr(np.real(vr[:, idx]))
+                U_new = _lincomb_mat(Vp, jnp.asarray(P, dtype=dtype))
+                Qs, Rs = np.linalg.qr(Hflat @ P)      # C = V_{p+1} Q
+                C = _lincomb_mat(Vs, jnp.asarray(Qs, dtype=dtype))
+                U = _solve_right_tri(U_new, np.asarray(Rs))
+            else:
+                # later cycles: coupled-projection pencil over [U, V_p]
+                # (block form of HPDDM_GCRODR.hpp:745-850 / Parks strat. A):
+                # op([U, V_p]) = [C, V_{p+1}] G, G = [[I_kc, B],[0, Hbar]]
+                d = kc + pd
+                Bflat = Bb[:, :steps, :].reshape(kc, pd)
+                G = np.zeros((d + mu, d))
+                G[:kc, :kc] = np.eye(kc)
+                G[:kc, kc:] = Bflat
+                G[kc:, kc:] = Hflat
+                CU = _cross(op, C, U)                 # (kc, kc)
+                VU = _cross(op, Vs, U)                # ((p+1)mu, kc)
+                QhW = np.zeros((d + mu, d))
+                QhW[:kc, :kc] = CU
+                QhW[kc:, :kc] = VU
+                QhW[kc: kc + pd, kc:] = np.eye(pd)
+                P = _harmonic_ritz_general(G, QhW, min(k, d), target)
+                U_new = (_lincomb_mat(U, jnp.asarray(P[:kc], dtype=dtype))
+                         + _lincomb_mat(Vp, jnp.asarray(P[kc:], dtype=dtype)))
+                GPq, GPr = np.linalg.qr(G @ P)
+                C = (_lincomb_mat(C, jnp.asarray(GPq[:kc], dtype=dtype))
+                     + _lincomb_mat(Vs, jnp.asarray(GPq[kc:], dtype=dtype)))
+                U = _solve_right_tri(U_new, GPr)
         if (first_it > 0).all() or it > max_it:
             break
 

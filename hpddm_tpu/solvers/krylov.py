@@ -147,6 +147,16 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         from hpddm_tpu.solvers.block import bfbcg
         return bfbcg(op, b, x0, tol=tol, max_it=max_it)
     if method in ("gcrodr", "bgcrodr"):
+        # gcrodr: per-RHS solves sharing one refined recycle space;
+        # bgcrodr: true block recycling (fused block Krylov space,
+        # HPDDM_GCRODR.hpp:446-907) when mu > 1
+        if method == "bgcrodr" and b.shape[-1] > 1:
+            from hpddm_tpu.solvers.gcrodr import bgcrodr_fused
+            return bgcrodr_fused(op, b, x0, tol=tol,
+                                 restart=int(opt.val("gmres_restart")),
+                                 max_it=max_it,
+                                 recycle=int(opt.val("recycle", 0)),
+                                 target=opt.val("recycle_target"))
         from hpddm_tpu.solvers.gcrodr import bgcrodr
         return bgcrodr(op, b, x0, tol=tol,
                        restart=int(opt.val("gmres_restart")),

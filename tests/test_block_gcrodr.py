@@ -141,3 +141,32 @@ def test_bgcrodr_multi_rhs():
             < 1e-7
     its = np.asarray(res.it_per_rhs)
     assert its[1] < its[0] and its[2] < its[0], its
+
+
+def test_bgcrodr_fused_true_block():
+    """True block GCRO-DR: where BGMRES(12) stagnates, the fused block
+    recycling converges, warm recycling improves it, and the solution is
+    exact; dispatched via -hpddm_krylov_method bgcrodr for mu > 1."""
+    import scipy.sparse as sp
+    from hpddm_tpu.solvers.gcrodr import bgcrodr_fused
+    from hpddm_tpu.solvers.block import bgmres
+    n, mu = 100, 3
+    A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    Ad = jnp.asarray(A.todense())
+    op = LinearOperator(gmv=lambda x: jnp.einsum("nk,skm->snm", Ad, x))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(1, n, mu)))
+    rg = bgmres(op, b, tol=1e-8, restart=12, max_it=2000)
+    assert int(rg.iterations) >= 1500          # plain block GMRES stagnates
+    rf = bgcrodr_fused(op, b, tol=1e-8, restart=12, max_it=2000, recycle=6)
+    assert int(rf.iterations) < 600            # block deflation restores it
+    rw = bgcrodr_fused(op, b, tol=1e-8, restart=12, max_it=2000, recycle=6,
+                       recycled=rf.recycled, same_system=True)
+    assert int(rw.iterations) < int(rf.iterations)   # warm recycling helps
+    for r in (rf, rw):
+        x = np.asarray(r.x)[0]
+        rr = np.asarray(b)[0] - A @ x
+        rel = np.linalg.norm(rr, axis=0) / np.linalg.norm(np.asarray(b)[0],
+                                                          axis=0)
+        assert rel.max() < 1e-7
