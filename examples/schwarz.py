@@ -53,6 +53,8 @@ def main(argv=None):
     gen = diffusion2d.generate(S, Nx, Ny, overlap=overlap, sym=sym, mu=mu,
                                with_neumann=two_level, dtype=dtype)
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
+    if opt.val("local_solver", default="dense") == "fft":
+        sch.set_grid_geometry(gen.boxes, Nx, Ny)
     f = np.zeros((S, sch.n_max, max(mu, 1)), dtype=dtype)
     for s in range(S):
         f[s, : gen.n_loc[s]] = gen.f[s]

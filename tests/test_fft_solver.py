@@ -94,3 +94,54 @@ def test_lanczos_geneo_matches_dense_quality():
         assert float(nr[0] / nb[0]) < 1e-2
         its[method] = int(res.iterations)
     assert its["lanczos"] <= its["dense"] + 10, its
+
+
+def test_dst_matmul_matches_fft():
+    """DSTMatmulSolver (uniform masked sine matmuls) must reproduce the
+    grouped-rFFT solver to machine precision on mixed box sizes."""
+    gen = diffusion2d.generate(4, 100, 100, overlap=2)
+    n_max = max(gen.n_loc)
+    fft = build_fft_solver(gen.boxes, 100, 100, n_max,
+                           dtype=jnp.float64, mode="fft")
+    mm = build_fft_solver(gen.boxes, 100, 100, n_max,
+                          dtype=jnp.float64, mode="matmul")
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(4, n_max, 2)))
+    np.testing.assert_allclose(np.asarray(mm.solve(b)),
+                               np.asarray(fft.solve(b)),
+                               rtol=0.0, atol=1e-12)
+
+
+def test_fft_solver_sharded():
+    """The matmul-DST solver's leaves are all S-leading, so the FFT local
+    solve runs under shard_map; sharded == batched."""
+    import jax as _jax
+    from hpddm_tpu.parallel.mesh import make_mesh, shard_state, sharded_solve
+    from hpddm_tpu.solvers.krylov import solve as _solve
+    S = 4
+    gen = diffusion2d.generate(S, 100, 100, overlap=1)
+    opt = Options(local_solver="fft", tol=1e-6)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.set_grid_geometry(gen.boxes, 100, 100)
+    state = sch.build()
+    assert type(state.solver).__name__ == "DSTMatmulSolver"
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+    res_ref = _solve(state, f, opt=opt)
+    nb, nr = compute_residual(state, res_ref.x, f)
+    assert float(nr[0] / nb[0]) <= 1e-2
+
+    mesh = make_mesh(4)
+    state_sh = shard_state(state, mesh)
+    f_sh = _jax.device_put(f, _jax.sharding.NamedSharding(
+        mesh, _jax.sharding.PartitionSpec("sub", None, None)))
+    res_sh = sharded_solve(state_sh, f_sh, opt, mesh)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    # not bitwise: XLA tiles the batched DST einsums differently for the
+    # per-shard batch size (the solver *application* is bitwise equal;
+    # verified directly), so allow last-digit drift
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
+                               rtol=0.0, atol=1e-10)
