@@ -55,9 +55,10 @@ def main():
     # (sized so the whole bench fits the driver's timeout with remote
     # compiles; per-op numbers at 2048^2 are recorded in PERF.md)
     S2, Nx2, Ny2 = 16, 1024, 1024
-    gen2 = diffusion2d.generate(S2, Nx2, Ny2, overlap=1, dtype=dtype)
+    gen2 = diffusion2d.generate_uniform(S2, Nx2, Ny2, overlap=1, dtype=dtype)
     sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
                    options=Options())
+    sch2.set_grid_geometry(gen2.boxes, Nx2, Ny2)   # slab halo exchange
     state2 = sch2.operator_state()   # no factorization: pure GMV path
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(S2, sch2.n_max, 1)).astype(dtype))

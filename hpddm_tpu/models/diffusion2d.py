@@ -262,3 +262,123 @@ def generate_single(Nx: int = 100, Ny: int = 100, sym: bool = False,
                     mu: int = 0, dtype=np.float64) -> Generated:
     """Single-domain problem (the sizeWorld == 1 path of schwarz.cpp)."""
     return generate(1, Nx, Ny, overlap=1, sym=sym, mu=mu, dtype=dtype)
+
+
+def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
+                     overlap: int = 1, mu: int = 0,
+                     rng: Optional[np.random.Generator] = None,
+                     dtype=np.float64) -> Generated:
+    """Uniform-box variant of :func:`generate` for the structured-grid
+    halo exchange (parallel/grid.py).
+
+    Boxes at the domain edge are extended *inward* instead of clipped, so
+    every subdomain is exactly (w + 2*overlap) per side — uniform static
+    shapes, reshapeable to the (H, W) canvas the slab exchange needs.
+    Edge pairs then share 3*overlap cells instead of 2*overlap, which the
+    corner-loop POU of the reference cannot express; the partition of
+    unity here is the exact-GMV one (zero on the incomplete-stencil outer
+    layer, then the multiplicityScaling fixed point applied by
+    Decomposition.from_subdomains' "normalized" scaling). Same stencil,
+    RHS, and global operator as `generate`; the local vertical offset is
+    the true row width (no Nx//xGrid quirk — this decomposition is not
+    bit-matched to the reference)."""
+    x_grid, y_grid = _grid_of(size_world)
+    if Nx % x_grid or Ny % y_grid:
+        raise ValueError("generate_uniform needs Nx % xGrid == 0 and "
+                         "Ny % yGrid == 0")
+    wsub_x, wsub_y = Nx // x_grid, Ny // y_grid
+    Wb, Hb = wsub_x + 2 * overlap, wsub_y + 2 * overlap
+    if x_grid > 1 and wsub_x < 3 * overlap:
+        raise ValueError("subdomains too small for the inward extension")
+    dx, dy = 10.0 / Nx, 10.0 / Ny
+    idy2, idx2 = 1.0 / (dy * dy), 1.0 / (dx * dx)
+    if rng is None:
+        rng = np.random.default_rng(0)
+
+    out = Generated([], None, [], [], [], [], [],
+                    (x_grid, y_grid, Nx, Ny, overlap), [])
+
+    def origin(c, w, n, width, grid_n):
+        if grid_n == 1:
+            return 0
+        return min(max(c * w - overlap, 0), n - width)
+
+    for rank in range(size_world):
+        y, x = divmod(rank, x_grid)
+        i_start = origin(x, wsub_x, Nx, Wb, x_grid)
+        j_start = origin(y, wsub_y, Ny, Hb, y_grid)
+        wx = Wb if x_grid > 1 else Nx
+        wy = Hb if y_grid > 1 else Ny
+        i_end, j_end = i_start + wx, j_start + wy
+        ndof = wx * wy
+        out.boxes.append((i_start, i_end, j_start, j_end))
+        out.n_loc.append(ndof)
+
+        if mu == 0:
+            jj, ii = np.meshgrid(np.arange(j_start, j_end),
+                                 np.arange(i_start, i_end), indexing="ij")
+            f = rhs_values(ii, jj, Nx, Ny).reshape(ndof, 1).astype(dtype)
+        else:
+            f = rng.uniform(0.0, 1.0, size=(ndof, mu)).astype(dtype)
+        out.f.append(f)
+
+        # POU seed: zero on the incomplete-stencil outer layer (box edges
+        # interior to the domain), one elsewhere; "normalized" scaling
+        # turns this into an exact partition of unity.
+        d = np.ones((wy, wx))
+        if j_start > 0:
+            d[0, :] = 0.0
+        if j_end < Ny:
+            d[-1, :] = 0.0
+        if i_start > 0:
+            d[:, 0] = 0.0
+        if i_end < Nx:
+            d[:, -1] = 0.0
+        out.d.append(d.ravel())
+
+        # neighbors + aligned mappings from global rectangle intersections
+        o, maps = [], []
+        for q in range(size_world):
+            if q == rank:
+                continue
+            qy, qx = divmod(q, x_grid)
+            if abs(qy - y) > 1 or abs(qx - x) > 1:
+                continue
+            qi0 = origin(qx, wsub_x, Nx, Wb, x_grid)
+            qj0 = origin(qy, wsub_y, Ny, Hb, y_grid)
+            a0, a1 = max(i_start, qi0), min(i_end, qi0 + wx)
+            b0, b1 = max(j_start, qj0), min(j_end, qj0 + wy)
+            if a1 <= a0 or b1 <= b0:
+                continue
+            gj, gi = np.meshgrid(np.arange(b0, b1), np.arange(a0, a1),
+                                 indexing="ij")
+            loc = ((gj - j_start) * wx + (gi - i_start)).ravel()
+            o.append(q)
+            maps.append(loc)
+        out.neighbors.append(o)
+        out.mappings.append(maps)
+
+        # local matrix: true 5-point stencil of the box (voff = wx)
+        jj, ii = np.meshgrid(np.arange(j_start, j_end),
+                             np.arange(i_start, i_end), indexing="ij")
+        jj, ii = jj.ravel(), ii.ravel()
+        k = np.arange(ndof)
+        diag_val = 2.0 * idx2 + 2.0 * idy2
+        rows, cols, vals = [], [], []
+
+        def add(mask, col, val):
+            rows.append(k[mask])
+            cols.append(col[mask])
+            vals.append(np.full(int(mask.sum()), val))
+
+        add(jj > j_start, k - wx, -idy2)
+        add(ii > i_start, k - 1, -idx2)
+        add(np.ones(ndof, dtype=bool), k, diag_val)
+        add(ii < i_end - 1, k + 1, -idx2)
+        add(jj < j_end - 1, k + wx, -idy2)
+        mat = MatrixCSR.from_coo(ndof, ndof, np.concatenate(rows),
+                                 np.concatenate(cols),
+                                 np.concatenate(vals).astype(dtype))
+        out.mats.append(mat)
+
+    return out

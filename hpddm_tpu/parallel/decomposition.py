@@ -74,6 +74,9 @@ class Decomposition:
     k_max: int = dataclasses.field(metadata=dict(static=True))
     renumbered: bool = dataclasses.field(default=False,
                                          metadata=dict(static=True))
+    # optional structured-grid halo plan (parallel/grid.py); when present
+    # `exchange` uses the scatter-free slab path
+    grid: Optional[object] = None
 
     # ------------------------------------------------------------------
     @staticmethod

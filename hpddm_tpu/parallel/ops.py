@@ -73,6 +73,9 @@ def exchange(dec: Decomposition, x: jax.Array,
     interior values whose partner lists are empty (sentinel), so they pass
     through unchanged. No full-vector gather or scatter anywhere.
     """
+    if dec.grid is not None and not dec.renumbered:
+        from hpddm_tpu.parallel.grid import grid_exchange
+        return grid_exchange(dec.grid, x, axis_name)
     if dec.renumbered:
         m = dec.m_max
         vals = x[:, :m, :]

@@ -527,8 +527,17 @@ class Schwarz:
 
     def set_grid_geometry(self, boxes, Nx: int, Ny: int) -> None:
         """Attach grid geometry (the generator's subdomain boxes) enabling
-        -hpddm_local_solver fft."""
+        -hpddm_local_solver fft; for uniform-box decompositions
+        (models/diffusion2d.generate_uniform) this also switches
+        ``exchange`` to the scatter-free slab halo path (parallel/grid.py).
+        """
         self._grid_geometry = (list(boxes), int(Nx), int(Ny))
+        if not self.dec.renumbered:
+            import dataclasses as _dc
+            from hpddm_tpu.parallel.grid import build_grid_plan
+            plan = build_grid_plan(boxes)
+            if plan is not None and plan.H * plan.W == self.dec.n_max:
+                self.dec = _dc.replace(self.dec, grid=plan)
 
     def operator_state(self) -> SchwarzState:
         """State without any factorization: supports gmv/compute_residual
