@@ -33,6 +33,9 @@ def main():
     gen = diffusion2d.generate(S, Nx, Ny, overlap=1, with_neumann=True,
                                dtype=dtype)
     tol = 1.0e-6 if dtype == np.float32 else 1.0e-8
+    # geneo_nu=10: measured best for the f32 on-chip solve (19 its); the
+    # reference default nu=20 enlarges the coarse space with near-null
+    # modes whose f32 coarse solve noise degrades right-GMRES to 29 its
     opt = Options(tol=tol, schwarz_coarse_correction="deflated", geneo_nu=10)
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
     sch.solve_gevp(gen.neumann)
