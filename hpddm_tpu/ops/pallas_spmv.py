@@ -93,17 +93,91 @@ def _dia_spmv_1rhs(values: jax.Array, x: jax.Array, offsets: tuple,
     return out.reshape(S, n_pad)[:, :n]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "block_rows", "interpret"))
+def _dia_spmv_blocked(values: jax.Array, x: jax.Array, offsets: tuple,
+                      block_rows: int = 256, interpret: bool = False):
+    """Row-blocked DIA SpMV: grid (S, n_blocks), x resident per subdomain.
+
+    The whole-row kernel above keeps ~7 MB blocks per grid step — too big to
+    double-buffer within the ~16 MB VMEM, so DMA serializes against compute.
+    Here the dominant traffic (the diagonal values, nd×n floats) is streamed
+    in (nd, BR, 128) blocks that pipeline against the VPU shift-multiply-
+    adds, while the vector x (+halo) is fetched once per subdomain (its
+    block index map is constant in the minor grid dimension, so Pallas
+    re-uses the buffer across row blocks).
+    """
+    S, nd, n = values.shape
+    w = max((abs(o) for o in offsets), default=0)
+    w_pad = _round_up(max(w, 1), 128)
+    hw = w_pad // 128
+    blk = block_rows * 128
+    n_pad = _round_up(n, blk)
+    n_rows = n_pad // 128
+    # halo window: rows [base+q, base+q+BR] for q in [0, 2*hw]; one extra
+    # row covers the lane spill of the largest positive shift
+    nx_rows = n_rows + 2 * hw + 1
+
+    vals_3d = jnp.pad(values, ((0, 0), (0, 0), (0, n_pad - n))) \
+                 .reshape(S, nd, n_rows, 128)
+    xp = jnp.pad(x, ((0, 0), (w_pad, nx_rows * 128 - n - w_pad)))
+    x_3d = xp.reshape(S, nx_rows, 128)
+    n_blocks = n_rows // block_rows
+    BR = block_rows
+    BH = BR + 2 * hw + 1
+
+    def kernel(x_ref, vals_ref, out_ref):
+        b = pl.program_id(1)
+        base = pl.multiple_of(b * BR, BR)
+        win = x_ref[0, pl.ds(base, BH), :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 1)
+        acc = jnp.zeros((BR, 128), dtype=out_ref.dtype)
+        for k, off in enumerate(offsets):
+            q, r = divmod(w_pad + off, 128)
+            rows_a = win[q: q + BR, :]
+            if r == 0:
+                shifted = rows_a
+            else:
+                rows_b = win[q + 1: q + 1 + BR, :]
+                roll_a = pltpu.roll(rows_a, 128 - r, 1)
+                roll_b = pltpu.roll(rows_b, 128 - r, 1)
+                shifted = jnp.where(lane < 128 - r, roll_a, roll_b)
+            acc = acc + vals_ref[0, k] * shifted
+        out_ref[0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, n_rows, 128), x.dtype),
+        grid=(S, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nx_rows, 128), lambda s, b: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nd, BR, 128), lambda s, b: (s, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BR, 128), lambda s, b: (s, b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_3d, vals_3d)
+    return out.reshape(S, n_pad)[:, :n]
+
+
 def pallas_dia_supported(A: BatchedDIA, x: jax.Array) -> bool:
     S, nd, n = A.values.shape
     itemsize = jnp.dtype(A.values.dtype).itemsize
+    # blocked kernel: x (+halo) resident per subdomain; vals/out streamed
     return (x.shape[-1] == 1
-            and (nd + 2) * n * itemsize <= _VMEM_CAP_BYTES)
+            and jnp.issubdtype(A.values.dtype, jnp.floating)
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and n * itemsize <= _VMEM_CAP_BYTES)
 
 
 def spmm_dia_pallas(A: BatchedDIA, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """Pallas path for (S, n, 1) inputs."""
     assert x.shape[-1] == 1
-    y = _dia_spmv_1rhs(A.values, x[:, :, 0], tuple(A.offsets),
-                       interpret=interpret)
+    n = A.values.shape[2]
+    br = min(256, _round_up(-(-n // 128), 8))
+    y = _dia_spmv_blocked(A.values, x[:, :, 0], tuple(A.offsets),
+                          block_rows=br, interpret=interpret)
     return y[:, :, None]

@@ -16,10 +16,16 @@ every kernel (pseudo-block storage) comes for free here.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from hpddm_tpu.core.formats import BatchedDIA, BatchedELL, BatchedDense
+
+# Pallas row-blocked DIA kernel on TPU backends (1.25x over the XLA shifts
+# at production sizes, PERF.md); HPDDM_TPU_NO_PALLAS=1 disables.
+_USE_PALLAS = os.environ.get("HPDDM_TPU_NO_PALLAS", "0") != "1"
 
 
 def spmm_dia(A: BatchedDIA, x: jax.Array) -> jax.Array:
@@ -53,6 +59,11 @@ def spmm_dense(A: BatchedDense, x: jax.Array) -> jax.Array:
 def spmm(A, x: jax.Array) -> jax.Array:
     """Dispatch on format. x: (S, n_max, mu) -> (S, n_max, mu)."""
     if isinstance(A, BatchedDIA):
+        if _USE_PALLAS and jax.default_backend() not in ("cpu",):
+            from hpddm_tpu.ops.pallas_spmv import (pallas_dia_supported,
+                                                   spmm_dia_pallas)
+            if pallas_dia_supported(A, x):
+                return spmm_dia_pallas(A, x)
         return spmm_dia(A, x)
     if isinstance(A, BatchedELL):
         return spmm_ell(A, x)

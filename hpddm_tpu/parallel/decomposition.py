@@ -77,6 +77,10 @@ class Decomposition:
     # optional structured-grid halo plan (parallel/grid.py); when present
     # `exchange` uses the scatter-free slab path
     grid: Optional[object] = None
+    # row-level exchange plan (parallel/rowplan.py): unique sorted 128-lane
+    # row gathers/scatters replace the element-granular ones on the general
+    # path
+    rowplan: Optional[object] = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -240,6 +244,11 @@ class Decomposition:
         else:
             is_if_arr = inv_map < m_max
 
+        rowplan = None
+        if not renumber:
+            from hpddm_tpu.parallel.rowplan import RowPlan
+            rowplan = RowPlan.build(if_idx, if_mask, int(n_max))
+
         return Decomposition(
             n_loc=jnp.asarray(n_loc, dtype=jnp.int32),
             d=jnp.asarray(d_arr),
@@ -255,6 +264,7 @@ class Decomposition:
             iperm=jnp.asarray(iperm) if iperm is not None else None,
             S=S, n_max=int(n_max), m_max=m_max, n_if=n_if, n_global=n_global,
             k_max=int(k_max), renumbered=bool(renumber),
+            rowplan=rowplan,
         )
 
     # ------------------------------------------------------------------

@@ -43,6 +43,11 @@ class GridPlan:
     nbr: jax.Array    # (S, 8) int32 neighbor subdomain id; sentinel = S
     sxw: jax.Array    # (S, 8) int32 shared width along x with that neighbor
     syw: jax.Array    # (S, 8) int32 shared width along y
+    # (S, 8, S+1) one-hot of nbr: the S-axis neighbor "gather" is done as
+    # an MXU matmul — generic gathers serialize on TPU (~54 ns/elem, PERF),
+    # a (S, S+1) x (S+1, strip) matmul is ~free. S-leading so shard_map
+    # splits it alongside the subdomain axis.
+    onehot: jax.Array
     H: int = dataclasses.field(metadata=dict(static=True))
     W: int = dataclasses.field(metadata=dict(static=True))
     t: int = dataclasses.field(metadata=dict(static=True))
@@ -97,22 +102,51 @@ def build_grid_plan(boxes) -> Optional[GridPlan]:
             nbr[s, dir_] = q
             sxw[s, dir_] = ox if dx else W
             syw[s, dir_] = oy if dy else H
+    onehot = np.zeros((S, 8, S + 1), dtype=np.float32)
+    for dir_ in range(8):
+        onehot[np.arange(S), dir_, nbr[:, dir_]] = 1.0
     return GridPlan(nbr=jnp.asarray(nbr), sxw=jnp.asarray(sxw),
-                    syw=jnp.asarray(syw), H=H, W=W, t=t, S=S)
+                    syw=jnp.asarray(syw), onehot=jnp.asarray(onehot),
+                    H=H, W=W, t=t, S=S)
 
 
-def _shift_axis(vals: jax.Array, idx: jax.Array, axis: int) -> jax.Array:
-    """Re-align a gathered strip: vals[..., i, ...] <- vals[..., idx, ...]
-    along `axis`, zero where idx is out of [0, extent)."""
-    extent = vals.shape[axis]
-    shape = [1] * vals.ndim
-    shape[0], shape[axis] = idx.shape[0], idx.shape[1]
-    idx_b = idx.reshape(shape)
-    ok = (idx_b >= 0) & (idx_b < extent)
-    taken = jnp.take_along_axis(
-        vals, jnp.broadcast_to(jnp.clip(idx_b, 0, extent - 1), vals.shape),
-        axis=axis)
-    return jnp.where(jnp.broadcast_to(ok, vals.shape), taken, 0)
+def _static_shift(vals: jax.Array, v: int, axis: int) -> jax.Array:
+    """out[..., i, ...] = vals[..., i+v, ...], zero-filled (static v)."""
+    if v == 0:
+        return vals
+    ext = vals.shape[axis]
+    idx = [slice(None)] * vals.ndim
+    pad = [(0, 0)] * vals.ndim
+    if v > 0:
+        idx[axis] = slice(min(v, ext), ext)
+        pad[axis] = (0, min(v, ext))
+    else:
+        idx[axis] = slice(0, max(ext + v, 0))
+        pad[axis] = (min(-v, ext), 0)
+    return jnp.pad(vals[tuple(idx)], pad)
+
+
+def _shift_select(vals: jax.Array, k: jax.Array, axis: int,
+                  t: int) -> jax.Array:
+    """out[s, ..., i, ...] = vals[s, ..., i + k[s], ...], zero outside.
+
+    k: (S,) per-subdomain shift in [-t, t]. Computed as a select over the
+    2t+1 statically-shifted variants — pure VPU, no gathers (a
+    take_along_axis here serializes per element on TPU and dominated the
+    whole exchange; PERF.md)."""
+    variants = jnp.stack([_static_shift(vals, v, axis)
+                          for v in range(-t, t + 1)])      # (2t+1, S, ...)
+    sel = (k + t)[None, :] == jnp.arange(2 * t + 1)[:, None]
+    sel = sel.reshape(sel.shape + (1,) * (vals.ndim - 1))
+    return jnp.sum(jnp.where(sel, variants, 0), axis=0)
+
+
+import os
+
+# composition of the final canvas update: "band" = row-band concat (one
+# fused pass, no zero-padded full canvases), "pad" = zero-padded strip adds
+# (the round-1 formulation). A/B-switchable for measurement.
+_COMPOSE = os.environ.get("HPDDM_TPU_GRID_COMPOSE", "band")
 
 
 def grid_exchange(plan: GridPlan, x: jax.Array,
@@ -137,39 +171,57 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
         return jnp.concatenate([strip, z], axis=0)
 
     Ep, Wp, Np, Sp = pad(Est), pad(Wst), pad(Nst), pad(Sst)
-    r = jnp.arange(t)[None, :]
 
-    def lo_idx(shared):        # my strip rows/cols [0, t): pos -> theirs
-        return r + (t - shared[:, None])
-    def hi_idx(shared):        # my strip rows/cols [X - t, X): pos -> theirs
-        return r - (t - shared[:, None])
+    sxw, syw = plan.sxw, plan.syw
+    oh = plan.onehot.astype(x.dtype)
 
-    nbr, sxw, syw = plan.nbr, plan.sxw, plan.syw
+    def take(strips_p, dir_):
+        # neighbor "gather" as a one-hot matmul (MXU; no generic gather)
+        return jnp.einsum("sq,qabm->sabm", oh[:, dir_, :], strips_p)
+
+    def lo(shared):            # my strip rows/cols [0, t): shift by t-shared
+        return t - shared
+    def hi(shared):
+        return shared - t
+
     # cardinal contributions
-    e = _shift_axis(Wp[nbr[:, 0]], hi_idx(sxw[:, 0]), 2)
-    w = _shift_axis(Ep[nbr[:, 1]], lo_idx(sxw[:, 1]), 2)
-    n = _shift_axis(Sp[nbr[:, 2]], lo_idx(syw[:, 2]), 1)
-    s = _shift_axis(Np[nbr[:, 3]], hi_idx(syw[:, 3]), 1)
+    e = _shift_select(take(Wp, 0), hi(sxw[:, 0]), 2, t)
+    w = _shift_select(take(Ep, 1), lo(sxw[:, 1]), 2, t)
+    n = _shift_select(take(Sp, 2), lo(syw[:, 2]), 1, t)
+    s = _shift_select(take(Np, 3), hi(syw[:, 3]), 1, t)
     # diagonal corner tiles (sliced out of the neighbor's strip tensors)
-    ne = _shift_axis(_shift_axis(Sp[nbr[:, 4]][:, :, :t, :],
-                                 lo_idx(syw[:, 4]), 1), hi_idx(sxw[:, 4]), 2)
-    nw = _shift_axis(_shift_axis(Sp[nbr[:, 5]][:, :, W - t:, :],
-                                 lo_idx(syw[:, 5]), 1), lo_idx(sxw[:, 5]), 2)
-    se = _shift_axis(_shift_axis(Np[nbr[:, 6]][:, :, :t, :],
-                                 hi_idx(syw[:, 6]), 1), hi_idx(sxw[:, 6]), 2)
-    sw = _shift_axis(_shift_axis(Np[nbr[:, 7]][:, :, W - t:, :],
-                                 hi_idx(syw[:, 7]), 1), lo_idx(sxw[:, 7]), 2)
+    ne = _shift_select(_shift_select(take(Sp, 4)[:, :, :t, :],
+                                     lo(syw[:, 4]), 1, t), hi(sxw[:, 4]), 2, t)
+    nw = _shift_select(_shift_select(take(Sp, 5)[:, :, W - t:, :],
+                                     lo(syw[:, 5]), 1, t), lo(sxw[:, 5]), 2, t)
+    se = _shift_select(_shift_select(take(Np, 6)[:, :, :t, :],
+                                     hi(syw[:, 6]), 1, t), hi(sxw[:, 6]), 2, t)
+    sw = _shift_select(_shift_select(take(Np, 7)[:, :, W - t:, :],
+                                     hi(syw[:, 7]), 1, t), lo(sxw[:, 7]), 2, t)
 
-    # fold corner tiles into the (narrow) E/W strips, then compose the
-    # result as one fused elementwise pass over zero-padded strips (faster
-    # on TPU than dynamic-update-slice write-backs, measured; PERF.md)
-    e = e.at[:, :t, :, :].add(ne).at[:, H - t:, :, :].add(se)
-    w = w.at[:, :t, :, :].add(nw).at[:, H - t:, :, :].add(sw)
-    x4 = (x4
-          + jnp.pad(e, [(0, 0), (0, 0), (W - t, 0), (0, 0)])
-          + jnp.pad(w, [(0, 0), (0, 0), (0, W - t), (0, 0)])
-          + jnp.pad(n, [(0, 0), (0, H - t), (0, 0), (0, 0)])
-          + jnp.pad(s, [(0, 0), (H - t, 0), (0, 0), (0, 0)]))
+    if _COMPOSE == "band":
+        # Row-band concat: corner tiles and the E/W strips' corner rows
+        # fold into the full-width N/S strips (tiny (S, t, W) ops), then
+        # one fused pass assembles the three bands.
+        n = (n.at[:, :, W - t:, :].add(ne + e[:, :t, :, :])
+              .at[:, :, :t, :].add(nw + w[:, :t, :, :]))
+        s = (s.at[:, :, W - t:, :].add(se + e[:, H - t:, :, :])
+              .at[:, :, :t, :].add(sw + w[:, H - t:, :, :]))
+        mid = jnp.concatenate([
+            x4[:, t:H - t, :t, :] + w[:, t:H - t, :, :],
+            x4[:, t:H - t, t:W - t, :],
+            x4[:, t:H - t, W - t:, :] + e[:, t:H - t, :, :]], axis=2)
+        x4 = jnp.concatenate([
+            x4[:, :t, :, :] + n, mid, x4[:, H - t:, :, :] + s], axis=1)
+    else:
+        # zero-padded strip adds (round-1 formulation)
+        e = e.at[:, :t, :, :].add(ne).at[:, H - t:, :, :].add(se)
+        w = w.at[:, :t, :, :].add(nw).at[:, H - t:, :, :].add(sw)
+        x4 = (x4
+              + jnp.pad(e, [(0, 0), (0, 0), (W - t, 0), (0, 0)])
+              + jnp.pad(w, [(0, 0), (0, 0), (0, W - t), (0, 0)])
+              + jnp.pad(n, [(0, 0), (0, H - t), (0, 0), (0, 0)])
+              + jnp.pad(s, [(0, 0), (H - t, 0), (0, 0), (0, 0)]))
 
     out = x4.reshape(S_loc, H * W, mu)
     if n_max > H * W:

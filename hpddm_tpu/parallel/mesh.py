@@ -37,9 +37,20 @@ def _is_subdomain_leaf(path_leaf, S: int) -> bool:
 
 
 def state_pspecs(state, axis: str = "sub"):
-    """PartitionSpec pytree: shard S-leading leaves, replicate the rest."""
+    """PartitionSpec pytree: shard S-leading leaves, replicate the rest.
+
+    The row-level exchange plan (dec.rowplan) indexes the *full* flattened
+    batch; its leaves are always replicated even if a dimension happens to
+    equal S (exchange falls back to the per-shard path under shard_map).
+    """
     S = state.dec.d.shape[0]
+    dec = getattr(state, "dec", None)
+    plan = getattr(dec, "rowplan", None)
+    replicated = ({id(leaf) for leaf in jax.tree_util.tree_leaves(plan)}
+                  if plan is not None else set())
     def spec(x):
+        if id(x) in replicated:
+            return P(*([None] * getattr(x, "ndim", 0)))
         if _is_subdomain_leaf(x, S):
             return P(axis, *([None] * (x.ndim - 1)))
         return P(*([None] * getattr(x, "ndim", 0)))

@@ -20,11 +20,24 @@ is local, no collective needed) or the mesh axis name used inside
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Row-level exchange plan (parallel/rowplan.py) on the general path,
+# opt-in via HPDDM_TPU_ROWPLAN=1. Measured on a v5e at 2048^2/16: the
+# 128-lane row-granular gathers/scatters are ~3x *slower* than the
+# element scatter (12.0 vs 4.2 ms) — XLA:TPU does not lower unique sorted
+# row scatters to the hoped-for dynamic-slice loop. Kept for A/B testing
+# and for backends where row granularity wins.
+_ROWPLAN_ENV = os.environ.get("HPDDM_TPU_ROWPLAN", "")
+
+
+def _rowplan_enabled() -> bool:
+    return _ROWPLAN_ENV == "1"
 
 from hpddm_tpu.dtypes import conj
 from hpddm_tpu.parallel.decomposition import Decomposition
@@ -81,6 +94,24 @@ def exchange(dec: Decomposition, x: jax.Array,
         vals = x[:, :m, :]
         summed = _interface_reduce(dec, vals, axis_name)
         return jnp.concatenate([summed, x[:, m:, :]], axis=1)
+    if (dec.rowplan is not None and axis_name is None
+            and x.shape[0] * dec.m_max == dec.rowplan.n_slots
+            and _rowplan_enabled()):
+        # general path, row-level plan (full batch only): unique sorted
+        # 128-lane row gathers/scatters instead of element-granular ones
+        from hpddm_tpu.parallel import rowplan as rp
+        plan = dec.rowplan
+        rows, xf = rp.gather_rows(plan, x)
+        # barriers: keep the row gather / slot gather / row scatter as
+        # separate XLA fusions — fusing the gather chains trips the TPU
+        # fusion emitter (kSublaneGather check crash) at production sizes
+        rows, xf = lax.optimization_barrier((rows, xf))
+        vals = rp.slot_values(plan, rows, x.shape[0], dec.m_max)
+        vals = lax.optimization_barrier(vals)
+        summed = _interface_reduce(dec, vals, axis_name)
+        summed = lax.optimization_barrier(summed)
+        return rp.scatter_rows(plan, xf, rows, summed, x.shape[0],
+                               dec.n_max)
     # general path (caller numbering kept): scatter the summed slots back.
     # (A full-vector gather through an inverse map measures ~14x slower
     # than this scatter on TPU; the renumbered layout above avoids both.)

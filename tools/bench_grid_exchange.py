@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""In-scan cost breakdown of the structured-grid halo exchange.
+
+Locates the cost center of parallel/grid.py::grid_exchange on the current
+backend: the flat<->canvas relayout, the strip extraction, the neighbor
+gather+realign, and the two final compositions (row-band concat vs
+zero-padded adds) measured in the same process (run-to-run noise on the
+shared remote chip is ~20%).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def scan_time(fn, x, length=20, reps=3):
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def chain(v):
+        out, _ = lax.scan(lambda c, _: (fn(c), None), v, None, length=length)
+        return out
+
+    y = chain(x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = chain(y)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / (reps * length)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.parallel import grid as gridmod
+    from hpddm_tpu.parallel.ops import scaled_exchange
+    from hpddm_tpu.precond.schwarz import Schwarz
+
+    argv = [int(a) for a in sys.argv[1:4]] or [16, 2048, 2048]
+    S, Nx, Ny = argv
+    dtype = np.float32
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1, dtype=dtype)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options())
+    sch.set_grid_geometry(gen.boxes, Nx, Ny)
+    state = sch.operator_state()
+    dec = state.dec
+    plan = dec.grid
+    H, W, t = plan.H, plan.W, plan.t
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(S, sch.n_max, 1)).astype(dtype))
+    print(f"backend={jax.default_backend()} S={S} H={H} W={W} t={t}")
+
+    floor = scan_time(lambda v: v + 1.0, x)
+    print(f"floor          : {floor*1e6:9.1f} us")
+
+    n_max = x.shape[1]
+
+    def roundtrip(v):
+        c = v[:, : H * W, :].reshape(S, H, W, 1) + 1.0
+        out = c.reshape(S, H * W, 1)
+        return jnp.concatenate([out, v[:, H * W:, :]], axis=1) \
+            if n_max > H * W else out
+    print(f"canvas roundtr : {scan_time(roundtrip, x)*1e6:9.1f} us")
+
+    def strips(v):
+        c = v[:, : H * W, :].reshape(S, H, W, 1)
+        Est = c[:, :, W - t:, :]
+        Wst = c[:, :, :t, :]
+        Nst = c[:, :t, :, :]
+        Sst = c[:, H - t:, :, :]
+        s = Est.sum() + Wst.sum() + Nst.sum() + Sst.sum()
+        return v + s * 1e-30
+    print(f"strip extract  : {scan_time(strips, x)*1e6:9.1f} us")
+
+    for mode in ("band", "pad"):
+        gridmod._COMPOSE = mode
+        tt = scan_time(lambda v: scaled_exchange(dec, v), x)
+        print(f"exchange {mode:4s}  : {tt*1e6:9.1f} us")
+
+
+if __name__ == "__main__":
+    main()
