@@ -267,6 +267,7 @@ def generate_single(Nx: int = 100, Ny: int = 100, sym: bool = False,
 def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
                      overlap: int = 1, mu: int = 0,
                      rng: Optional[np.random.Generator] = None,
+                     kappa=None,
                      dtype=np.float64) -> Generated:
     """Uniform-box variant of :func:`generate` for the structured-grid
     halo exchange (parallel/grid.py).
@@ -281,7 +282,12 @@ def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
     Decomposition.from_subdomains' "normalized" scaling). Same stencil,
     RHS, and global operator as `generate`; the local vertical offset is
     the true row width (no Nx//xGrid quirk — this decomposition is not
-    bit-matched to the reference)."""
+    bit-matched to the reference).
+
+    kappa: optional ``kappa(xx, yy) -> array`` scalar diffusion coefficient
+    on [0,10]^2 (cell centers). Face coefficients are harmonic means, so
+    the operator is the standard heterogeneous 5-point FV stencil;
+    kappa=None reproduces the constant-coefficient operator exactly."""
     x_grid, y_grid = _grid_of(size_world)
     if Nx % x_grid or Ny % y_grid:
         raise ValueError("generate_uniform needs Nx % xGrid == 0 and "
@@ -363,19 +369,36 @@ def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
                              np.arange(i_start, i_end), indexing="ij")
         jj, ii = jj.ravel(), ii.ravel()
         k = np.arange(ndof)
-        diag_val = 2.0 * idx2 + 2.0 * idy2
         rows, cols, vals = [], [], []
 
         def add(mask, col, val):
             rows.append(k[mask])
             cols.append(col[mask])
-            vals.append(np.full(int(mask.sum()), val))
+            vals.append(val[mask] if isinstance(val, np.ndarray)
+                        else np.full(int(mask.sum()), val))
 
-        add(jj > j_start, k - wx, -idy2)
-        add(ii > i_start, k - 1, -idx2)
+        if kappa is None:
+            kw = ks = ke = kn = np.ones(ndof)
+        else:
+            # harmonic-mean face coefficients from cell-center kappa; at
+            # the global boundary the face takes the cell's own value
+            def kc(i, j):
+                return np.asarray(kappa(dx * (np.clip(i, 0, Nx - 1) + 0.5),
+                                        dy * (np.clip(j, 0, Ny - 1) + 0.5)),
+                                  dtype=np.float64)
+            c = kc(ii, jj)
+            def face(other):
+                return 2.0 * c * other / (c + other)
+            kw = np.where(ii > 0, face(kc(ii - 1, jj)), c)
+            ke = np.where(ii < Nx - 1, face(kc(ii + 1, jj)), c)
+            ks = np.where(jj > 0, face(kc(ii, jj - 1)), c)
+            kn = np.where(jj < Ny - 1, face(kc(ii, jj + 1)), c)
+        diag_val = (kw + ke) * idx2 + (ks + kn) * idy2
+        add(jj > j_start, k - wx, -ks * idy2)
+        add(ii > i_start, k - 1, -kw * idx2)
         add(np.ones(ndof, dtype=bool), k, diag_val)
-        add(ii < i_end - 1, k + 1, -idx2)
-        add(jj < j_end - 1, k + wx, -idy2)
+        add(ii < i_end - 1, k + 1, -ke * idx2)
+        add(jj < j_end - 1, k + wx, -kn * idy2)
         mat = MatrixCSR.from_coo(ndof, ndof, np.concatenate(rows),
                                  np.concatenate(cols),
                                  np.concatenate(vals).astype(dtype))

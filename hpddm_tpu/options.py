@@ -87,9 +87,18 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                     "Number of Lanczos basis vectors per shift-invert restart "
                     "(analogue of -hpddm_arpack_ncv)"),
     # Local solver selection (TPU-specific: replaces the SUBDOMAIN compile-time plug-in)
-    "local_solver": ("enum", "inv", ("inv", "lu", "chol", "qr", "fft"),
+    "local_solver": ("enum", "inv",
+                     ("inv", "lu", "chol", "qr", "fft", "cheby", "dst_cheby"),
                      "Batched local solve strategy on TPU (fft = DST fast "
-                     "Poisson for grid subdomains, O(n log n), no factors)"),
+                     "Poisson for grid subdomains, O(n log n), no factors; "
+                     "cheby/dst_cheby = inexact k-step Chebyshev local "
+                     "solves, Jacobi- or DST-preconditioned, for large "
+                     "heterogeneous subdomains)"),
+    "local_cheby_steps": ("integer", 16, None,
+                          "Chebyshev steps per inexact local solve"),
+    "local_cheby_power_its": ("integer", 30, None,
+                              "Power-iteration steps for the Chebyshev "
+                              "spectral bounds (setup)"),
     "coarse_dtype": ("enum", None, ("same", "float32", "bfloat16"),
                      "Precision of the coarse operator (HPDDM_MIXED_PRECISION analogue)"),
 }

@@ -493,6 +493,41 @@ class Schwarz:
                                  coarse=coarse, variant=variant)
             self._state = state
             return state
+        if local_kind in ("cheby", "dst_cheby"):
+            # inexact k-step Chebyshev local solves (ops/cheby_solve.py):
+            # zero factor memory; the TPU answer to large heterogeneous
+            # subdomains that no batched dense factor (O(n^2) memory) or
+            # constant-coefficient DST solve covers exactly
+            from hpddm_tpu.ops.cheby_solve import build_cheby_solver
+            dt = dtype if dtype is not None else self.A.values.dtype
+            inner = None
+            if local_kind == "dst_cheby":
+                from hpddm_tpu.ops.fft_solve import build_fft_solver
+                geo = getattr(self, "_grid_geometry", None)
+                if geo is None:
+                    raise ValueError("local_solver=dst_cheby requires "
+                                     "set_grid_geometry(boxes, Nx, Ny)")
+                boxes, Nx, Ny = geo
+                inner = build_fft_solver(boxes, Nx, Ny, self.n_max, dtype=dt)
+            if self.optimized_mats is not None and \
+                    variant in ("oras", "soras", "osm"):
+                A_it = pack_local_matrices(
+                    self._permuted(self.optimized_mats), n_max=self.n_max,
+                    fmt="auto", pad_identity=True)
+            else:
+                A_it = self.A
+            solver = build_cheby_solver(
+                A_it.astype(dt), self.dec.row_mask, inner=inner,
+                k=int(opt.val("local_cheby_steps", prefix=pfx)),
+                power_its=int(opt.val("local_cheby_power_its", prefix=pfx)))
+            coarse = None
+            correction = opt.val("schwarz_coarse_correction", prefix=pfx)
+            if correction is not None:
+                coarse = self._build_coarse(correction, jnp.dtype(dt))
+            state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
+                                 coarse=coarse, variant=variant)
+            self._state = state
+            return state
         if self.optimized_mats is not None and \
                 variant in ("oras", "soras", "osm"):
             A_fact = batched_dense_from(pack_local_matrices(
