@@ -267,7 +267,7 @@ def generate_single(Nx: int = 100, Ny: int = 100, sym: bool = False,
 def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
                      overlap: int = 1, mu: int = 0,
                      rng: Optional[np.random.Generator] = None,
-                     kappa=None,
+                     kappa=None, with_neumann: bool = False,
                      dtype=np.float64) -> Generated:
     """Uniform-box variant of :func:`generate` for the structured-grid
     halo exchange (parallel/grid.py).
@@ -287,7 +287,13 @@ def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
     kappa: optional ``kappa(xx, yy) -> array`` scalar diffusion coefficient
     on [0,10]^2 (cell centers). Face coefficients are harmonic means, so
     the operator is the standard heterogeneous 5-point FV stencil;
-    kappa=None reproduces the constant-coefficient operator exactly."""
+    kappa=None reproduces the constant-coefficient operator exactly.
+
+    with_neumann: also assemble the local *Neumann* matrices for GenEO
+    (the PCHPDDMSetAuxiliaryMat requirement: the SPSD local energy —
+    faces crossing the artificial subdomain boundary contribute nothing
+    to the diagonal, faces on the true domain boundary keep their
+    Dirichlet contribution; cf. examples/generate.cpp:249-301)."""
     x_grid, y_grid = _grid_of(size_world)
     if Nx % x_grid or Ny % y_grid:
         raise ValueError("generate_uniform needs Nx % xGrid == 0 and "
@@ -301,7 +307,7 @@ def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
     if rng is None:
         rng = np.random.default_rng(0)
 
-    out = Generated([], None, [], [], [], [], [],
+    out = Generated([], [] if with_neumann else None, [], [], [], [], [],
                     (x_grid, y_grid, Nx, Ny, overlap), [])
 
     def origin(c, w, n, width, grid_n):
@@ -403,5 +409,32 @@ def generate_uniform(size_world: int, Nx: int = 100, Ny: int = 100,
                                  np.concatenate(cols),
                                  np.concatenate(vals).astype(dtype))
         out.mats.append(mat)
+
+        if with_neumann:
+            # SPSD local energy: a face contributes to the diagonal only
+            # when it is interior to the box or lies on the true domain
+            # boundary (Dirichlet); faces crossing the artificial boundary
+            # contribute nothing (free/Neumann)
+            dW = np.where((ii > i_start) | (ii == 0), kw, 0.0)
+            dE = np.where((ii < i_end - 1) | (ii == Nx - 1), ke, 0.0)
+            dS = np.where((jj > j_start) | (jj == 0), ks, 0.0)
+            dN = np.where((jj < j_end - 1) | (jj == Ny - 1), kn, 0.0)
+            diag_neu = (dW + dE) * idx2 + (dS + dN) * idy2
+            nrows, ncols, nvals = [], [], []
+
+            def addn(mask, col, val):
+                nrows.append(k[mask])
+                ncols.append(col[mask])
+                nvals.append(val[mask] if isinstance(val, np.ndarray)
+                             else np.full(int(mask.sum()), val))
+
+            addn(jj > j_start, k - wx, -ks * idy2)
+            addn(ii > i_start, k - 1, -kw * idx2)
+            addn(np.ones(ndof, dtype=bool), k, diag_neu)
+            addn(ii < i_end - 1, k + 1, -ke * idx2)
+            addn(jj < j_end - 1, k + wx, -kn * idy2)
+            out.neumann.append(MatrixCSR.from_coo(
+                ndof, ndof, np.concatenate(nrows), np.concatenate(ncols),
+                np.concatenate(nvals).astype(dtype)))
 
     return out

@@ -35,17 +35,35 @@ from hpddm_tpu.ops.spmv import spmm
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class JacobiSolver:
+    """Diagonal solve — the minimal inner preconditioner."""
+    dinv: jax.Array                 # (S, n_max)
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        return self.dinv[:, :, None] * b
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class ChebyLocalSolver:
     """k-step preconditioned Chebyshev as a batched local solver."""
     A: Any                          # Batched{DIA,ELL,Dense} local matrices
     inner: Optional[Any]            # DST solver (fft_solve) or None
     dinv: Optional[jax.Array]       # (S, n_max) Jacobi fallback when inner=None
+    # symmetric diagonal scaling R = sqrt(diag(L)/diag(A)) making the DST
+    # preconditioner M = R^-1 L R^-1 match A's diagonal — for
+    # heterogeneous kappa this clusters spec(M^-1 A) by the *local* jump
+    # structure instead of the global contrast
+    scale: Optional[jax.Array]      # (S, n_max) or None
     lo: jax.Array                   # (S,) lower spectral bound of M^-1 A
     hi: jax.Array                   # (S,) upper spectral bound
     k: int = dataclasses.field(metadata=dict(static=True))
 
     def _minv(self, r: jax.Array) -> jax.Array:
         if self.inner is not None:
+            if self.scale is not None:
+                s = self.scale[:, :, None]
+                return s * self.inner.solve(s * r)
             return self.inner.solve(r)
         return self.dinv[:, :, None] * r
 
@@ -96,7 +114,20 @@ def build_cheby_solver(A, row_mask: jax.Array, inner: Optional[Any] = None,
     S, n_max = row_mask.shape
     dtype = A.values.dtype
     dinv = None if inner is not None else _extract_dinv(A, n_max)
-    sol = ChebyLocalSolver(A=A, inner=inner, dinv=dinv,
+    scale = None
+    if inner is not None:
+        # R = sqrt(diag(L)/diag(A)); the Dirichlet-box DST Laplacian has a
+        # constant diagonal, recoverable as 1/(L^-1-free solve of e)...
+        # use the A-diagonal directly: R makes diag(M) = diag(A)
+        dA = 1.0 / _extract_dinv(A, n_max)
+        # representative diag(L): median of diag(A) where kappa ~ 1 is
+        # unknown; use per-subdomain max of the *unit* stencil — the DST
+        # solver was built for the unit-coefficient operator whose diag is
+        # constant, so any constant works up to a global factor absorbed
+        # by the spectral bounds. Take 1.0.
+        r = jnp.sqrt(jnp.where(jnp.abs(dA) > 0, 1.0 / jnp.abs(dA), 1.0))
+        scale = jnp.where(row_mask, r, 0.0).astype(dtype)
+    sol = ChebyLocalSolver(A=A, inner=inner, dinv=dinv, scale=scale,
                            lo=jnp.ones(S, dtype), hi=jnp.ones(S, dtype), k=k)
     mask = row_mask[:, :, None].astype(dtype)
 

@@ -354,8 +354,8 @@ class Schwarz:
 
         if method == "auto":
             method = "lanczos" if (self.n_max > 6000 or
-                                   opt.val("local_solver",
-                                           prefix=pfx) == "fft") else "dense"
+                                   opt.val("local_solver", prefix=pfx)
+                                   in ("fft", "dst_cheby")) else "dense"
         if method == "lanczos":
             lam, V = self._solve_gevp_lanczos(neumann, nu_max_req)
         else:
@@ -413,11 +413,14 @@ class Schwarz:
         # *assembled* matrix (spectrally close to the Neumann matrix)
         opt = self.opt
         kind = opt.val("local_solver", prefix=getattr(self, "prefix", ""))
-        if kind == "fft":
+        if kind in ("fft", "dst_cheby"):
             from hpddm_tpu.ops.fft_solve import build_fft_solver
             boxes, Nx, Ny = self._grid_geometry
             prec = build_fft_solver(boxes, Nx, Ny, self.n_max,
                                     dtype=dec.d.dtype)
+        elif kind == "cheby":
+            from hpddm_tpu.ops.cheby_solve import JacobiSolver, _extract_dinv
+            prec = JacobiSolver(dinv=_extract_dinv(self.A, self.n_max))
         else:
             prec = factorize(batched_dense_from(self.A), kind="inv")
 

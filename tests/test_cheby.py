@@ -19,8 +19,9 @@ from hpddm_tpu.solvers.krylov import solve
 
 
 def _kappa(xx, yy):
-    # two high-permeability channels, contrast 1e2
-    return np.where((yy > 3.3) & (yy < 6.6), 100.0, 1.0)
+    # high-permeability channel + quadrant jump, contrast 1e4
+    return (np.where((yy > 3.3) & (yy < 6.6), 1.0e4, 1.0)
+            * np.where(xx > 5.0, 10.0, 1.0))
 
 
 def _setup(local_solver, S=4, Nx=128, Ny=128, kappa=_kappa, steps=24):
@@ -44,18 +45,55 @@ def test_dst_cheby_matches_exact_inverse_iterations():
     res_c = solve(state_c, f, opt=opt_c)
     its_i, its_c = int(res_i.iterations), int(res_c.iterations)
     rr = np.array(compute_residual(state_c, res_c.x, f)).ravel()[-1]
-    assert rr < 1e-6
+    # true-residual bound loosened for the contrast-1e4 conditioning
+    assert rr < 1e-5
     # inexact local solves may cost a few extra outer iterations, no more
     assert its_c <= its_i + 5
     assert its_c <= 45          # the reference's oracle cap
 
 
 def test_jacobi_cheby_converges():
-    state, f, opt = _setup("cheby", steps=32)
+    # moderate contrast for the Jacobi-preconditioned variant
+    state, f, opt = _setup(
+        "cheby", steps=32,
+        kappa=lambda xx, yy: np.where((yy > 3.3) & (yy < 6.6), 100.0, 1.0))
     res = solve(state, f, opt=opt)
     rr = np.array(compute_residual(state, res.x, f)).ravel()[-1]
     assert bool(np.all(np.array(res.converged)))
     assert rr < 1e-6
+
+
+def test_geneo_with_cheby_local_solves():
+    # the flagship production config: large heterogeneous subdomains,
+    # two-level GenEO coarse space (Lanczos GEVP with inner-CG applies
+    # preconditioned by the DST), inexact Chebyshev local solves
+    S, Nx, Ny = 4, 128, 128
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1, kappa=_kappa,
+                                       with_neumann=True)
+    opt = Options(tol=1e-8, local_solver="dst_cheby", local_cheby_steps=24,
+                  schwarz_coarse_correction="deflated", geneo_nu=12)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.set_grid_geometry(gen.boxes, Nx, Ny)
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+    res = solve(state, f, opt=opt)
+    rr = np.array(compute_residual(state, res.x, f)).ravel()[-1]
+    assert rr < 1e-6
+    assert int(res.iterations) <= 25      # measured 18; exact-inv 2lvl: 10
+
+
+def test_uniform_neumann_matrices_are_spsd():
+    gen = diffusion2d.generate_uniform(4, 64, 64, overlap=1, kappa=_kappa,
+                                       with_neumann=True)
+    for m in gen.neumann:
+        A = m.scipy(expand=True).toarray()
+        w = np.linalg.eigvalsh(A)
+        assert w[0] > -1e-8 * abs(w[-1])
 
 
 def test_cheby_solver_is_linear():

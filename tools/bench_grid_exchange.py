@@ -81,6 +81,33 @@ def main():
         return v + s * 1e-30
     print(f"strip extract  : {scan_time(strips, x)*1e6:9.1f} us")
 
+    # cumulative stages of the exchange internals
+    plan_oh = plan.onehot.astype(x.dtype)
+
+    def stage(v, upto):
+        c = v[:, : H * W, :].reshape(S, H, W, 1)
+        Est, Wst = c[:, :, W - t:, :], c[:, :, :t, :]
+        Nst, Sst = c[:, :t, :, :], c[:, H - t:, :, :]
+        z = lambda s_: jnp.concatenate(
+            [s_, jnp.zeros((1,) + s_.shape[1:], s_.dtype)], axis=0)
+        Ep, Wp, Np, Sp = z(Est), z(Wst), z(Nst), z(Sst)
+        take = lambda sp, d: jnp.einsum("sq,qabm->sabm", plan_oh[:, d, :], sp)
+        acc = 0.0
+        if upto >= 1:
+            for d, sp in ((0, Wp), (1, Ep), (2, Sp), (3, Np)):
+                acc = acc + take(sp, d).sum()
+        if upto >= 2:
+            sh = gridmod._shift_select
+            e = sh(take(Wp, 0), plan.sxw[:, 0] - t, 2, t)
+            w = sh(take(Ep, 1), t - plan.sxw[:, 1], 2, t)
+            n = sh(take(Sp, 2), t - plan.syw[:, 2], 1, t)
+            s_ = sh(take(Np, 3), plan.syw[:, 3] - t, 1, t)
+            acc = acc + e.sum() + w.sum() + n.sum() + s_.sum()
+        return v + acc * 1e-30
+
+    print(f"stage onehot   : {scan_time(lambda v: stage(v, 1), x)*1e6:9.1f} us")
+    print(f"stage +shift   : {scan_time(lambda v: stage(v, 2), x)*1e6:9.1f} us")
+
     for mode in ("band", "pad"):
         gridmod._COMPOSE = mode
         tt = scan_time(lambda v: scaled_exchange(dec, v), x)
