@@ -52,6 +52,14 @@ class GridPlan:
     W: int = dataclasses.field(metadata=dict(static=True))
     t: int = dataclasses.field(metadata=dict(static=True))
     S: int = dataclasses.field(metadata=dict(static=True))
+    # regular row-major process grid (s == iy*gx + ix): neighbor selection
+    # becomes a *static shift* of the (gy, gx, ...) strip tensor — no
+    # matmul, no gather (the one-hot takes measured 536 us of the 589 us
+    # exchange at 2048^2/16; PERF.md)
+    gx: int = dataclasses.field(default=0, metadata=dict(static=True))
+    gy: int = dataclasses.field(default=0, metadata=dict(static=True))
+    regular: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
 
 def build_grid_plan(boxes) -> Optional[GridPlan]:
@@ -105,9 +113,13 @@ def build_grid_plan(boxes) -> Optional[GridPlan]:
     onehot = np.zeros((S, 8, S + 1), dtype=np.float32)
     for dir_ in range(8):
         onehot[np.arange(S), dir_, nbr[:, dir_]] = 1.0
+    gx_n, gy_n = len(xs), len(ys)
+    regular = all(pos.get((ys[iy], xs[ix])) == iy * gx_n + ix
+                  for iy in range(gy_n) for ix in range(gx_n))
     return GridPlan(nbr=jnp.asarray(nbr), sxw=jnp.asarray(sxw),
                     syw=jnp.asarray(syw), onehot=jnp.asarray(onehot),
-                    H=H, W=W, t=t, S=S)
+                    H=H, W=W, t=t, S=S,
+                    gx=gx_n, gy=gy_n, regular=regular)
 
 
 def _static_shift(vals: jax.Array, v: int, axis: int) -> jax.Array:
@@ -166,18 +178,31 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
         Nst = lax.all_gather(Nst, axis_name, axis=0, tiled=True)
         Sst = lax.all_gather(Sst, axis_name, axis=0, tiled=True)
 
-    def pad(strip):
-        z = jnp.zeros((1,) + strip.shape[1:], strip.dtype)
-        return jnp.concatenate([strip, z], axis=0)
-
-    Ep, Wp, Np, Sp = pad(Est), pad(Wst), pad(Nst), pad(Sst)
-
     sxw, syw = plan.sxw, plan.syw
-    oh = plan.onehot.astype(x.dtype)
 
-    def take(strips_p, dir_):
-        # neighbor "gather" as a one-hot matmul (MXU; no generic gather)
-        return jnp.einsum("sq,qabm->sabm", oh[:, dir_, :], strips_p)
+    if plan.regular:
+        # neighbor selection = static shift of the (gy, gx, ...) tensor
+        def take(strips, dir_):
+            dy, dx = _DIRS[dir_]
+            g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
+            g = _static_shift(_static_shift(g, dy, 0), dx, 1)
+            full = g.reshape(strips.shape)
+            if axis_name is None:
+                return full
+            return lax.dynamic_slice_in_dim(
+                full, lax.axis_index(axis_name) * S_loc, S_loc, 0)
+        Ep, Wp, Np, Sp = Est, Wst, Nst, Sst
+    else:
+        def pad(strip):
+            z = jnp.zeros((1,) + strip.shape[1:], strip.dtype)
+            return jnp.concatenate([strip, z], axis=0)
+
+        Ep, Wp, Np, Sp = pad(Est), pad(Wst), pad(Nst), pad(Sst)
+        oh = plan.onehot.astype(x.dtype)
+
+        def take(strips_p, dir_):
+            # neighbor "gather" as a one-hot matmul (no generic gather)
+            return jnp.einsum("sq,qabm->sabm", oh[:, dir_, :], strips_p)
 
     def lo(shared):            # my strip rows/cols [0, t): shift by t-shared
         return t - shared

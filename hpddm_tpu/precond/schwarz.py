@@ -292,8 +292,13 @@ class Schwarz:
         self.opt = options if options is not None else Options()
         self.prefix = prefix      # per-object option prefix (``setPrefix``)
         n_loc = [m.n for m in mats]
+        import numpy as _np
+        dec_dt = _np.float64 if not mats else (
+            _np.float64 if _np.iscomplexobj(_np.zeros(0, mats[0].dtype))
+            else _np.dtype(mats[0].dtype).type)
         self.dec = Decomposition.from_subdomains(neighbors, mappings, n_loc,
-                                                 d=d, renumber=renumber)
+                                                 d=d, renumber=renumber,
+                                                 dtype=dec_dt)
         self.mats = list(mats)           # original numbering (dump/stats)
         self.n_max = self.dec.n_max
         self.A = pack_local_matrices(self._permuted(mats),

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Large-scale heterogeneous flagship run on the current backend.
+
+1024x1024 grid (or argv override), 16 uniform subdomains of ~66k dofs,
+diffusion coefficient with a contrast-1e4 channel + quadrant jump,
+-hpddm_local_solver dst_cheby (no factorization memory anywhere) with a
+GenEO coarse space from the matrix-free Lanczos GEVP. No batched dense
+factor fits these subdomains (66k^2 floats each); this is the config the
+DST+Chebyshev+Lanczos path exists for.
+
+Usage: python tools/bench_hetero.py [S Nx Ny nu steps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz, compute_residual
+    from hpddm_tpu.solvers.krylov import solve
+
+    argv = [int(a) for a in sys.argv[1:6]] or []
+    S, Nx, Ny, nu, steps = (argv + [16, 1024, 1024, 16, 32][len(argv):])
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = np.float32 if on_tpu else np.float64
+    tol = 1e-6 if dtype == np.float32 else 1e-8
+
+    def kappa(xx, yy):
+        return (np.where((yy > 3.3) & (yy < 6.6), 1.0e4, 1.0)
+                * np.where(xx > 5.0, 10.0, 1.0))
+
+    t0 = time.perf_counter()
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1, kappa=kappa,
+                                       with_neumann=True, dtype=dtype)
+    # symmetric Jacobi scaling: mandatory for f32 at this contrast
+    # (cond(A_loc) ~ contrast x grid-cond makes any f32 local solve
+    # meaningless otherwise; core/scaling.py)
+    from hpddm_tpu.core.scaling import jacobi_scale
+    mats, f_list, neumann, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
+    t_gen = time.perf_counter() - t0
+    opt = Options(tol=tol, local_solver="dst_cheby",
+                  local_cheby_steps=steps,
+                  schwarz_coarse_correction="deflated", geneo_nu=nu)
+    sch = Schwarz(mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.set_grid_geometry(gen.boxes, Nx, Ny)
+    print(f"backend={jax.default_backend()} S={S} grid={Nx}x{Ny} "
+          f"n_loc~{gen.n_loc[0]} nu={nu} cheby_steps={steps} "
+          f"gen={t_gen:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    sch.solve_gevp(neumann, method="lanczos")
+    t_gevp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = sch.build()
+    jax.block_until_ready(state.coarse.EinvZ
+                          if hasattr(state.coarse, "EinvZ") else state.dec.d)
+    t_build = time.perf_counter() - t0
+    print(f"setup: gevp={t_gevp:.1f}s build={t_build:.1f}s", flush=True)
+
+    f = np.zeros((S, sch.n_max, 1), dtype=dtype)
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = f_list[s]
+    f = jnp.asarray(f)
+    solve_jit = jax.jit(lambda b: solve(state, b, opt=opt))
+    res = solve_jit(f)
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = solve_jit(f)
+    jax.block_until_ready(res.x)
+    t_solve = time.perf_counter() - t0
+    rr = np.array(compute_residual(state, res.x, f)).ravel()
+    its = int(res.iterations)
+    ndof = Nx * Ny
+    print(f"solve: {its} its, {t_solve:.3f}s "
+          f"({t_solve/max(its,1)*1e3:.1f} ms/it), true relres {rr[-1]:.3e}, "
+          f"{ndof/1e6:.1f}M dofs", flush=True)
+
+
+if __name__ == "__main__":
+    main()
