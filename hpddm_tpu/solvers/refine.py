@@ -1,0 +1,105 @@
+"""Mixed-precision iterative refinement around the device solve.
+
+The TPU backend has no f64: a single-precision solve bottoms out at a
+true-residual floor ~ cond(A) * eps_f32 (measured 3e-3 at 1M dofs,
+contrast 1e4 — STATUS.md). The classic fix is iterative refinement with
+the residual in higher precision:
+
+    repeat: r = b - A x          (host, f64, per-subdomain CSR SpMV)
+            e = solve(r)         (device, f32, the full DD preconditioned
+                                  Krylov solve — jitted once, reused)
+            x = x + e            (host, f64)
+
+Each pass multiplies the true residual by the f32-achievable reduction,
+so 2-4 passes reach f64-grade residuals while every FLOP of the inner
+solve stays on the MXU/VPU in f32. This generalizes the reference's
+mixed-precision design (HPDDM downscales only the *coarse* level,
+HPDDM_coarse_operator.hpp:73); on TPU the whole device solve is the
+"low" precision and the host plays the f64 role.
+
+The per-subdomain residual is exact on every row with a complete stencil;
+incomplete rows carry zero partition-of-unity weight, so they never enter
+the convergence functional (see parallel/ops.weighted_norm_sq).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from hpddm_tpu.core.csr import MatrixCSR
+
+
+def _host_consistency(dec, rd: np.ndarray) -> np.ndarray:
+    """f64 host replica of ``scaled_exchange`` on an already d-weighted
+    residual: every duplicated dof gets the d-weighted sum of its copies
+    (the consistency projector); interior dofs (d=1) pass through."""
+    if_idx = np.asarray(dec.if_idx)
+    if_mask = np.asarray(dec.if_mask)
+    partners = np.asarray(dec.partners)
+    S, m = if_idx.shape
+    mu = rd.shape[-1]
+    vals = np.take_along_axis(rd, if_idx[:, :, None], axis=1)
+    vals = np.where(if_mask[:, :, None], vals, 0.0)
+    flat = np.concatenate([vals.reshape(S * m, mu),
+                           np.zeros((1, mu))], axis=0)
+    summed = vals + flat[partners].sum(axis=2)
+    out = rd.copy()
+    s_idx = np.broadcast_to(np.arange(S)[:, None], (S, m))
+    out[s_idx[if_mask], if_idx[if_mask]] = summed[if_mask]
+    return out
+
+
+def solve_refined(solve_fn: Callable, mats: Sequence[MatrixCSR],
+                  f: np.ndarray, dec,
+                  tol: float = 1.0e-10, max_refine: int = 5,
+                  verbose: bool = False):
+    """Iteratively refined solve of the decomposed system.
+
+    solve_fn(b_device_dtype) -> KrylovResult — the jitted device solve
+        (e.g. ``jax.jit(lambda b: solve(state, b, opt=opt))``).
+    mats: host-side per-subdomain CSR matrices (original numbering).
+    f: (S, n_max, mu) host RHS (consistent across duplicated dofs).
+    dec: the Decomposition (for the partition of unity and the
+        consistency projector). The per-subdomain host residual is junk
+        on incomplete-stencil rows and carries roundoff disagreement
+        between duplicated copies; both stall the decomposed inner solve
+        and pollute the norm, so every pass projects the residual onto
+        the consistent subspace in f64 first.
+
+    Returns (x (S, n_max, mu) f64 host array, info dict with per-pass
+    weighted true-residual norms and inner iteration counts).
+    """
+    S, n_max, mu = f.shape
+    f64 = np.asarray(f, dtype=np.float64)
+    d64 = np.asarray(dec.d, dtype=np.float64)
+    x = np.zeros((S, n_max, mu), dtype=np.float64)
+    A_h = [m.scipy(expand=True).tocsr().astype(np.float64) for m in mats]
+
+    def wnorm(v):
+        return np.sqrt(np.sum(d64[:, :, None] * v * v))
+
+    nb = wnorm(f64)            # f is consistent by assumption
+    history, inner_its = [], []
+    dev_dtype = np.asarray(f).dtype    # the device precision (e.g. f32)
+    for p in range(max_refine):
+        r = f64.copy()
+        for s in range(S):
+            n = A_h[s].shape[0]
+            r[s, :n] -= A_h[s] @ x[s, :n]
+        # consistent representation in f64 (already d-weighted + summed);
+        # norm counts every dof class once (sum of d over a class is 1)
+        rcons = _host_consistency(dec, d64[:, :, None] * r)
+        rel = np.sqrt(np.sum(d64[:, :, None] * rcons * rcons)) \
+            / max(nb, 1e-300)
+        history.append(rel)
+        if verbose:
+            print(f"refine pass {p}: true weighted rel res = {rel:.3e}")
+        if rel <= tol:
+            break
+        res = solve_fn(rcons.astype(dev_dtype))
+        e = np.asarray(res.x, dtype=np.float64)
+        inner_its.append(int(np.max(np.asarray(res.iterations))))
+        x += e
+    return x, {"history": history, "inner_iterations": inner_its}

@@ -85,6 +85,21 @@ def main():
           f"({t_solve/max(its,1)*1e3:.1f} ms/it), true relres {rr[-1]:.3e}, "
           f"{ndof/1e6:.1f}M dofs", flush=True)
 
+    # mixed-precision iterative refinement: host-f64 residuals around the
+    # f32 device solve — f64-grade accuracy without f64 hardware
+    from hpddm_tpu.solvers.refine import solve_refined
+    opt_ir = Options(tol=1e-3, local_solver="dst_cheby",
+                     local_cheby_steps=steps,
+                     schwarz_coarse_correction="deflated", geneo_nu=nu)
+    ir_jit = jax.jit(lambda b: solve(state, jnp.asarray(b), opt=opt_ir))
+    t0 = time.perf_counter()
+    x, info = solve_refined(ir_jit, mats, np.asarray(f), state.dec,
+                            tol=1e-10, max_refine=6)
+    t_ir = time.perf_counter() - t0
+    print(f"refined: {len(info['inner_iterations'])} passes x "
+          f"{info['inner_iterations']} its, {t_ir:.2f}s (incl. compile), "
+          f"true f64 relres {info['history'][-1]:.3e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
