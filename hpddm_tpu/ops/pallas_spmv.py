@@ -162,22 +162,103 @@ def _dia_spmv_blocked(values: jax.Array, x: jax.Array, offsets: tuple,
     return out.reshape(S, n_pad)[:, :n]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "block_rows", "interpret"))
+def _dia_spmv_blocked_mu(values: jax.Array, x: jax.Array, offsets: tuple,
+                         block_rows: int = 256, interpret: bool = False):
+    """Multi-RHS variant of ``_dia_spmv_blocked``: x is (S, mu, n).
+
+    The diagonal values — the dominant HBM traffic — are streamed exactly
+    once (same block spec as the single-RHS kernel); the whole (mu, n+halo)
+    vector panel stays resident per subdomain and every diagonal's
+    shift/roll/select is applied to all mu lanes at once, so mu RHS cost
+    barely more than one. This is the kernel analogue of the reference's
+    pseudo-block `csrmm` (HPDDM_wrapper.hpp:123-146): amortize the matrix
+    stream over the RHS block.
+    """
+    S, nd, n = values.shape
+    mu = x.shape[1]
+    w = max((abs(o) for o in offsets), default=0)
+    w_pad = _round_up(max(w, 1), 128)
+    hw = w_pad // 128
+    blk = block_rows * 128
+    n_pad = _round_up(n, blk)
+    n_rows = n_pad // 128
+    nx_rows = n_rows + 2 * hw + 1
+
+    vals_3d = jnp.pad(values, ((0, 0), (0, 0), (0, n_pad - n))) \
+                 .reshape(S, nd, n_rows, 128)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (w_pad, nx_rows * 128 - n - w_pad)))
+    x_4d = xp.reshape(S, mu, nx_rows, 128)
+    n_blocks = n_rows // block_rows
+    BR = block_rows
+    BH = BR + 2 * hw + 1
+
+    def kernel(x_ref, vals_ref, out_ref):
+        b = pl.program_id(1)
+        base = pl.multiple_of(b * BR, BR)
+        win = x_ref[0, :, pl.ds(base, BH), :]          # (mu, BH, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BR, 128), 2)
+        acc = jnp.zeros((mu, BR, 128), dtype=out_ref.dtype)
+        for k, off in enumerate(offsets):
+            q, r = divmod(w_pad + off, 128)
+            rows_a = win[:, q: q + BR, :]
+            if r == 0:
+                shifted = rows_a
+            else:
+                rows_b = win[:, q + 1: q + 1 + BR, :]
+                roll_a = pltpu.roll(rows_a, 128 - r, 2)
+                roll_b = pltpu.roll(rows_b, 128 - r, 2)
+                shifted = jnp.where(lane < 128 - r, roll_a, roll_b)
+            acc = acc + vals_ref[0, k][None] * shifted
+        out_ref[0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, mu, n_rows, 128), x.dtype),
+        grid=(S, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, mu, nx_rows, 128), lambda s, b: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nd, BR, 128), lambda s, b: (s, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mu, BR, 128), lambda s, b: (s, 0, b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_4d, vals_3d)
+    return out.reshape(S, mu, n_pad)[:, :, :n]
+
+
+# auto-dispatch threshold: on a real v5e at 1024^2/16 the XLA DIA path
+# already amortizes the value stream over the RHS block (mu=2: 19.7 vs
+# 18.1 GNnz/s eff; mu=4: 39.2 vs 32.3 — tools/bench_gmv.py), so the
+# Pallas kernel only wins at mu=1; the mu>1 kernel stays available via
+# spmm_dia_pallas for explicit use.
+_MAX_PALLAS_MU = 1
+
+
 def pallas_dia_supported(A: BatchedDIA, x: jax.Array) -> bool:
     S, nd, n = A.values.shape
     itemsize = jnp.dtype(A.values.dtype).itemsize
     # blocked kernel: x (+halo) resident per subdomain; vals/out streamed
-    return (x.shape[-1] == 1
+    return (x.shape[-1] <= _MAX_PALLAS_MU
             and jnp.issubdtype(A.values.dtype, jnp.floating)
             and jnp.issubdtype(x.dtype, jnp.floating)
-            and n * itemsize <= _VMEM_CAP_BYTES)
+            and x.shape[-1] * n * itemsize <= _VMEM_CAP_BYTES)
 
 
 def spmm_dia_pallas(A: BatchedDIA, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
-    """Pallas path for (S, n, 1) inputs."""
-    assert x.shape[-1] == 1
+    """Pallas path for (S, n, mu) inputs."""
     n = A.values.shape[2]
+    mu = x.shape[-1]
     br = min(256, _round_up(-(-n // 128), 8))
-    y = _dia_spmv_blocked(A.values, x[:, :, 0], tuple(A.offsets),
-                          block_rows=br, interpret=interpret)
-    return y[:, :, None]
+    if mu == 1:
+        y = _dia_spmv_blocked(A.values, x[:, :, 0], tuple(A.offsets),
+                              block_rows=br, interpret=interpret)
+        return y[:, :, None]
+    y = _dia_spmv_blocked_mu(A.values, jnp.swapaxes(x, 1, 2),
+                             tuple(A.offsets), block_rows=br,
+                             interpret=interpret)
+    return jnp.swapaxes(y, 1, 2)

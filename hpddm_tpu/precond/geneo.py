@@ -135,36 +135,46 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
     B-orthonormal Lanczos with full reorthogonalization on the operator
     A^-1 B; the largest Ritz values theta give the smallest pencil
     eigenvalues lambda = 1/theta. Returns (lam (S, nu_max), V (S, n,
-    nu_max))."""
+    nu_max)).
+
+    The whole iteration is one ``lax.scan`` over the fixed-size basis
+    arrays: the body traces a single (apply_Ainv, 2x apply_B, two Gram
+    matmuls) step, so the compile cost is independent of ncv (the unrolled
+    formulation took minutes through the remote compile server at 1M
+    dofs). Reorthogonalization coefficients reuse the stored B.v columns
+    ((B u)^T w == u^T B w up to the symmetric part), turning the O(ncv^2)
+    apply_B calls of the naive loop into one (S, n, ncv) matmul per step.
+    """
     if ncv is None:
         ncv = max(2 * nu_max + 1, 12)
     ncv = min(ncv, n)
     rng = np.random.default_rng(seed)
     v = jnp.asarray(rng.normal(size=(S, n, 1)), dtype=dtype)
-
-    def b_dot(x, y):
-        return jnp.einsum("snm,snm->s", x, apply_B(y))
-
-    basis = []          # B-orthonormal Krylov vectors (S, n, 1)
-    nrm = jnp.sqrt(jnp.abs(b_dot(v, v)))
+    nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, apply_B(v))))
     v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
-    for j in range(ncv):
-        basis.append(v)
-        w = apply_Ainv(apply_B(v))
-        # full B-reorthogonalization (twice) against the stored basis
+
+    def step(carry, j):
+        v, V, BV, OpV = carry
+        Bv = apply_B(v)
+        w = apply_Ainv(Bv)                                 # Op v_j
+        V = jax.lax.dynamic_update_index_in_dim(V, v[:, :, 0], j, axis=2)
+        BV = jax.lax.dynamic_update_index_in_dim(BV, Bv[:, :, 0], j, axis=2)
+        OpV = jax.lax.dynamic_update_index_in_dim(OpV, w[:, :, 0], j, axis=2)
+        # full B-reorthogonalization (twice) against columns 0..j — the
+        # not-yet-filled columns are zero, so they contribute nothing
         for _ in range(2):
-            for u in basis:
-                w = w - b_dot(u, w)[:, None, None] * u
-        beta = jnp.sqrt(jnp.abs(b_dot(w, w)))
+            c = jnp.einsum("snj,sn->sj", BV, w[:, :, 0])
+            w = w - jnp.einsum("snj,sj->sn", V, c)[:, :, None]
+        beta = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", w, apply_B(w))))
         v = w / jnp.maximum(beta, 1e-30)[:, None, None]
+        return (v, V, BV, OpV), None
+
+    Z = jnp.zeros((S, n, ncv), dtype=dtype)
+    (_, V, BV, OpV), _ = jax.lax.scan(step, (v, Z, Z, Z), jnp.arange(ncv))
 
     # small projected problem per subdomain: T = V^T_B (A^-1 B) V_B is
     # symmetric in the B-inner product; build it densely from the basis
     # (full reorthogonalization makes the tridiagonal assumption fragile)
-    V = jnp.concatenate([b[:, :, 0:1] for b in basis], axis=2)  # (S, n, ncv)
-    OpV = jnp.stack([apply_Ainv(apply_B(b))[:, :, 0] for b in basis],
-                    axis=2)                                      # (S, n, ncv)
-    BV = jnp.stack([apply_B(b)[:, :, 0] for b in basis], axis=2)
     T = jnp.einsum("snj,snk->sjk", BV, OpV)                      # V^T B Op V
     T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
     T_np = np.asarray(T)

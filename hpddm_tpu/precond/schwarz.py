@@ -440,13 +440,16 @@ class Schwarz:
         inner_its = 25
 
         def apply_Ainv(r):
-            # fixed-iteration preconditioned CG (jittable, batched)
+            # fixed-iteration preconditioned CG (jittable, batched) — a
+            # fori_loop so the Lanczos scan body traces one CG step
             x = jnp.zeros_like(r)
             res = r
             z = prec.solve(res)
             p = z
             rz = jnp.einsum("snm,snm->s", res, z)
-            for _ in range(inner_its):
+
+            def body(_, carry):
+                x, res, p, rz = carry
                 Ap = apply_Aneu(p)
                 pAp = jnp.einsum("snm,snm->s", p, Ap)
                 alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, 1.0)
@@ -456,7 +459,10 @@ class Schwarz:
                 rz_new = jnp.einsum("snm,snm->s", res, z)
                 beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
                 p = z + beta[:, None, None] * p
-                rz = rz_new
+                return x, res, p, rz_new
+
+            x, _, _, _ = jax.lax.fori_loop(0, inner_its, body,
+                                           (x, res, p, rz))
             return x
 
         ncv = opt.val("lanczos_ncv")

@@ -31,6 +31,83 @@ import numpy as np
 from hpddm_tpu.core.csr import MatrixCSR
 
 
+def solve_refined_device(state, f, opt=None, tol: float = 1.0e-12,
+                         max_refine: int = 6, axis_name=None,
+                         verbose: bool = False):
+    """All-on-device mixed-precision refinement (no host f64 round-trip).
+
+    Same loop as :func:`solve_refined`, but the f64 role is played by
+    double-word f32 arithmetic (ops/doubleword.py): the solution is the
+    unevaluated pair ``x = hi + lo`` and the per-subdomain residual
+    ``b - A x`` is computed with error-free transforms on the VPU. The
+    consistency projection (POU-scale + copy-sum) is applied to the hi/lo
+    components separately — safe because the projected copies are
+    near-equal small residuals (no cancellation), unlike the GMV exchange
+    whose partial row sums do cancel.
+
+    state: a SchwarzState with DIA or ELL local matrices.
+    f: (S, n_max, mu) RHS in the caller's numbering, consistent copies.
+    opt: inner-solve options (e.g. tol=1e-3 per pass).
+
+    Returns (x (S, n_max, mu) f64 host array in the caller numbering,
+    info dict like solve_refined). Works under shard_map (pass
+    axis_name) — every op is the batched/sharded-neutral kind.
+    """
+    import jax
+    import jax.numpy as jnp
+    from hpddm_tpu.ops.doubleword import (dw_add, dw_from, dw_mul_f32,
+                                          dw_neg, dw_renorm, spmm_dw)
+    from hpddm_tpu.parallel.ops import exchange
+    from hpddm_tpu.solvers.krylov import _solve_core
+
+    dec = state.dec
+    f = jnp.asarray(f)
+    if f.ndim == 2:
+        f = f[:, :, None]
+    b = dec.permute(f) if dec.renumbered else f
+    d = dec.d[:, :, None]
+    nb = jnp.sqrt(jnp.sum(d * b * b))
+
+    @jax.jit
+    def residual(xh, xl):
+        y = spmm_dw(state.A, (xh, xl))
+        r = dw_add(dw_from(b), dw_neg(y))
+        rh, rl = dw_mul_f32(d, r)
+        rh = exchange(dec, rh, axis_name)
+        rl = exchange(dec, rl, axis_name)
+        rh, rl = dw_renorm(rh, rl)
+        rel = jnp.sqrt(jnp.sum(d * rh * rh)) / jnp.maximum(nb, 1e-30)
+        return rh, rel
+
+    @jax.jit
+    def correct(xh, xl, rh):
+        res = _solve_core(state, rh, None, opt, axis_name)
+        xh, xl = dw_add((xh, xl), dw_from(res.x))
+        return xh, xl, res.iterations
+
+    xh = jnp.zeros_like(b)
+    xl = jnp.zeros_like(b)
+    history, inner_its = [], []
+    for p in range(max_refine):
+        rh, rel = residual(xh, xl)
+        rel = float(rel)
+        history.append(rel)
+        if verbose:
+            print(f"refine pass {p}: dw weighted rel res = {rel:.3e}")
+        if rel <= tol:
+            break
+        xh, xl, its = correct(xh, xl, rh)
+        inner_its.append(int(np.max(np.asarray(its))))
+    x = (np.asarray(xh, dtype=np.float64)
+         + np.asarray(xl, dtype=np.float64))
+    if dec.renumbered:
+        # unpermute on host in f64 (the device gather would have to round
+        # the pair back to f32 first)
+        iperm = np.asarray(dec.iperm)
+        x = np.take_along_axis(x, iperm[:, :, None], axis=1)
+    return x, {"history": history, "inner_iterations": inner_its}
+
+
 def _host_consistency(dec, rd: np.ndarray) -> np.ndarray:
     """f64 host replica of ``scaled_exchange`` on an already d-weighted
     residual: every duplicated dof gets the d-weighted sum of its copies

@@ -12,13 +12,14 @@ from hpddm_tpu.ops.pallas_spmv import spmm_dia_pallas
 
 
 @pytest.mark.parametrize("S,Nx,Ny", [(4, 40, 40), (2, 100, 60)])
-def test_pallas_dia_matches_reference(S, Nx, Ny):
+@pytest.mark.parametrize("mu", [1, 3, 4])
+def test_pallas_dia_matches_reference(S, Nx, Ny, mu):
     gen = diffusion2d.generate(S, Nx, Ny, overlap=1)
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
                   options=Options())
     state = sch.operator_state()
     x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(S, sch.n_max, 1)))
+        size=(S, sch.n_max, mu)))
     y_ref = spmm(state.A, x)
     y_pal = spmm_dia_pallas(state.A, x, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),

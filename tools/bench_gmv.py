@@ -86,6 +86,23 @@ def main():
     else:
         print("spmm Pallas    : unsupported")
 
+    # multi-RHS: the Pallas kernel streams the diagonals once for all mu
+    for mu in (2, 4):
+        xm = jnp.asarray(np.random.default_rng(1).normal(
+            size=(S, sch.n_max, mu)).astype(dtype))
+        from hpddm_tpu.ops.spmv import spmm_dia
+        t_xm = scan_time(lambda v: spmm_dia(A, v), xm)
+        print(f"spmm XLA  mu={mu} : {t_xm*1e6:9.1f} us  "
+              f"({mu*nnz/t_xm/1e9:.1f} GNnz/s eff)")
+        if pallas_dia_supported(A, xm):
+            try:
+                t_pm = scan_time(lambda v: spmm_dia_pallas(A, v), xm)
+                print(f"spmm Pal  mu={mu} : {t_pm*1e6:9.1f} us  "
+                      f"({mu*nnz/t_pm/1e9:.1f} GNnz/s eff)")
+            except Exception as e:  # noqa: BLE001 — remote Mosaic errors
+                print(f"spmm Pal  mu={mu} : FAILED ({type(e).__name__}: "
+                      f"{str(e)[:200]})")
+
     t_e = scan_time(lambda v: scaled_exchange(state.dec, v), x)
     print(f"exchange       : {t_e*1e6:9.1f} us")
 

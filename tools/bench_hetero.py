@@ -100,6 +100,16 @@ def main():
           f"{info['inner_iterations']} its, {t_ir:.2f}s (incl. compile), "
           f"true f64 relres {info['history'][-1]:.3e}", flush=True)
 
+    # all-on-device variant: double-word f32 residuals (no host SpMV)
+    from hpddm_tpu.solvers.refine import solve_refined_device
+    t0 = time.perf_counter()
+    x2, info2 = solve_refined_device(state, f, opt=opt_ir, tol=1e-10,
+                                     max_refine=6)
+    t_ir2 = time.perf_counter() - t0
+    print(f"refined-dw: {len(info2['inner_iterations'])} passes x "
+          f"{info2['inner_iterations']} its, {t_ir2:.2f}s (incl. compile), "
+          f"dw relres {info2['history'][-1]:.3e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
