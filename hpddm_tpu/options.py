@@ -73,6 +73,15 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
     "substructuring_scaling": ("enum", "multiplicity",
                                ("multiplicity", "stiffness", "coefficient"),
                                "Scaling used for the FETI/BDD preconditioner"),
+    "substructuring_coarse": ("enum", "dense", ("dense", "cheby"),
+                              "FETI/BDD coarse solves: replicated dense "
+                              "factorization, or matrix-free fixed-degree "
+                              "Chebyshev (no replicated G / materialized "
+                              "balancing basis — scales past nc ~ 1e4)"),
+    "substructuring_coarse_degree": ("integer", None, None,
+                                     "Chebyshev degree of the matrix-free "
+                                     "substructuring coarse solves (default: "
+                                     "from the estimated condition number)"),
     # GenEO
     "eigensolver_tol": ("numeric", 1.0e-6, None, "Tolerance of the local eigensolver"),
     "geneo_nu": ("integer", 20, None,

@@ -65,6 +65,70 @@ def shard_state(state, mesh: Mesh, axis: str = "sub"):
         state, specs)
 
 
+def substructure_pspecs(st, axis: str = "sub"):
+    """PartitionSpec pytree for a SubstructureState: shard the subdomain-
+    leading leaves, replicate the (small) coarse/multiplier-space leaves.
+
+    Coarse leaves are listed by field name — shape heuristics are unsafe
+    here because nc (#kernels) can equal S (one rigid mode per subdomain).
+    """
+    S = st.K_pinv.shape[0]
+    repl_ids = set()
+    for name in ("G", "GtG_inv", "G_def", "FG_def", "GFG_inv",
+                 "gtg_lo", "gtg_hi", "wsw_lo", "wsw_hi"):
+        leaf = getattr(st, name)
+        repl_ids.update(id(x) for x in jax.tree_util.tree_leaves(leaf))
+    plan = getattr(st.dec_b, "rowplan", None)
+    if plan is not None:
+        repl_ids.update(id(x) for x in jax.tree_util.tree_leaves(plan))
+
+    def spec(x):
+        if id(x) in repl_ids:
+            return P(*([None] * getattr(x, "ndim", 0)))
+        if _is_subdomain_leaf(x, S):
+            return P(axis, *([None] * (x.ndim - 1)))
+        return P(*([None] * getattr(x, "ndim", 0)))
+
+    return jax.tree_util.tree_map(spec, st)
+
+
+def shard_substructure(st, mesh: Mesh, axis: str = "sub"):
+    """device_put a SubstructureState with the proper shardings."""
+    specs = substructure_pspecs(st, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        st, specs)
+
+
+def sharded_feti_solve(st, f: jax.Array, mesh: Mesh, axis: str = "sub",
+                       **kw):
+    """feti_solve under shard_map (subdomains sharded over the mesh)."""
+    from hpddm_tpu.precond.substructure import FetiResult, feti_solve
+
+    specs = substructure_pspecs(st, axis)
+    vec = P(axis, None, None)
+    out = FetiResult(u=vec, lam=P(None, None), iterations=P(),
+                     rel_res=P(None))
+    fn = jax.shard_map(
+        lambda s, b: feti_solve(s, b, axis_name=axis, **kw),
+        mesh=mesh, in_specs=(specs, vec), out_specs=out, check_vma=False)
+    return fn(st, f)
+
+
+def sharded_bdd_solve(st, f: jax.Array, mesh: Mesh, axis: str = "sub",
+                      **kw):
+    """bdd_solve under shard_map (subdomains sharded over the mesh)."""
+    from hpddm_tpu.precond.substructure import BddResult, bdd_solve
+
+    specs = substructure_pspecs(st, axis)
+    vec = P(axis, None, None)
+    out = BddResult(u=vec, iterations=P(), rel_res=P(None))
+    fn = jax.shard_map(
+        lambda s, b: bdd_solve(s, b, axis_name=axis, **kw),
+        mesh=mesh, in_specs=(specs, vec), out_specs=out, check_vma=False)
+    return fn(st, f)
+
+
 def sharded_solve(state, b: jax.Array, opt: Options, mesh: Mesh,
                   axis: str = "sub", x0: Optional[jax.Array] = None):
     """Run the full Krylov solve under shard_map over the subdomain axis.

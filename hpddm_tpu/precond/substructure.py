@@ -17,7 +17,17 @@ HPDDM_BDD.hpp:40-334):
   HPDDM_schur.hpp:319-334). Multiplier vectors are replicated; B/B^T are
   one gather + scatter-add (+psum when sharded),
 * the coarse projection P = I - G (G^T G)^-1 G^T with G = B R uses a
-  replicated dense coarse solve (``Feti::project``, HPDDM_FETI.hpp:339-368),
+  replicated dense coarse solve (``Feti::project``, HPDDM_FETI.hpp:339-368)
+  by default; ``-hpddm_substructuring_coarse cheby`` switches both FETI and
+  BDD to *matrix-free* coarse solves — G and G^T are applied through the
+  adjoint pairs (b_apply o _kernel_expand / _kernel_dots o bt_apply), the
+  BDD balancing basis W is never materialized (its dense form is S x nb x
+  S*r — quadratic in subdomain count), and (G^T G)^-1 / (W^T S W)^-1 are
+  replaced by a fixed-degree Chebyshev polynomial. A fixed-degree
+  Chebyshev is a *linear* operator, so the projected CG stays valid — the
+  same design as the inexact local solves (ops/cheby_solve.py) and the
+  TPU answer to the reference's InexactCoarseOperator
+  (include/HPDDM_inexact_coarse_operator.hpp:48) for substructuring,
 * BDD works on consistent interface vectors with the balancing
   Neumann-Neumann preconditioner (``Bdd::precond``, HPDDM_BDD.hpp:168+).
 
@@ -68,18 +78,34 @@ class SubstructureState:
     lam_id: jax.Array        # (S, L) multiplier global id (pad -> N_l)
     lam_loc: jax.Array       # (S, L) local dof index of the slot
     lam_sign: jax.Array      # (S, L) +1 / -1 / 0(pad)
-    # coarse (projection) data, replicated
-    G: jax.Array             # (N_l, nc) = B * kernels (dense, small)
-    GtG_inv: jax.Array       # (nc, nc)
+    # global coarse addressing (sharding-safe: these slice along S, so each
+    # shard keeps its *global* column offsets / subdomain ids)
+    kern_off: jax.Array      # (S,) first coarse column of each subdomain
+    sub_gid: jax.Array       # (S,) global subdomain index
+    # coarse (projection) data, replicated; None in matrix-free mode
+    G: Optional[jax.Array]   # (N_l, nc) = B * kernels (dense, small)
+    GtG_inv: Optional[jax.Array]  # (nc, nc)
     dec_b: Decomposition     # interface-only decomposition (BDD exchange)
     N_l: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
     n_max: int = dataclasses.field(metadata=dict(static=True))
+    S_total: int = dataclasses.field(metadata=dict(static=True))
     # GenEO deflation space (solve_gevp): lambda-space directions deflated
     # F-orthogonally during the projected CG (Saad deflated-CG structure)
     G_def: Optional[jax.Array] = None      # (N_l, nd)
     FG_def: Optional[jax.Array] = None     # (N_l, nd) = F G_def
     GFG_inv: Optional[jax.Array] = None    # (nd, nd) = (G^T F G)^-1
+    # matrix-free (Chebyshev) coarse solves: -hpddm_substructuring_coarse
+    coarse_mode: str = dataclasses.field(default="dense",
+                                         metadata=dict(static=True))
+    coarse_degree: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
+    bdd_coarse_degree: int = dataclasses.field(default=0,
+                                               metadata=dict(static=True))
+    gtg_lo: Optional[jax.Array] = None     # spectral bounds of G^T G
+    gtg_hi: Optional[jax.Array] = None
+    wsw_lo: Optional[jax.Array] = None     # spectral bounds of W^T S W
+    wsw_hi: Optional[jax.Array] = None
 
 
 class Substructure:
@@ -239,22 +265,22 @@ class Substructure:
                 Sb_kernels[s, :, k] = vec / (nrm if nrm > 0 else 1.0)
 
         # -- coarse projection G = B * kernels ----------------------------
-        nc_cols = []
-        G_cols = []
-        for s in range(S):
-            for k in range(int(r_loc[s]) if r_loc[s] else 0):
-                col = np.zeros(N_l, dtype=dtype)
-                for (lid, loc, sgn) in lam_slots[s]:
-                    col[lid] += sgn * kernels[s, loc, k]
-                G_cols.append(col)
-                nc_cols.append((s, k))
-        nc = max(len(G_cols), 1)
-        G = np.zeros((N_l, nc), dtype=dtype)
-        for c, col in enumerate(G_cols):
-            G[:, c] = col
-        GtG = G.T @ G + 1e-14 * np.eye(nc)
-        GtG_inv = np.linalg.inv(GtG) if G_cols else np.eye(nc, dtype=dtype)
+        nc_cols = [(s, k) for s in range(S)
+                   for k in range(int(r_loc[s]) if r_loc[s] else 0)]
+        nc = max(len(nc_cols), 1)
         self._coarse_cols = nc_cols
+        co_mode = self.opt.val("substructuring_coarse") or "dense"
+        if not nc_cols:
+            co_mode = "dense"        # nothing to invert; keep the eye path
+        G = GtG_inv = None
+        if co_mode == "dense":
+            G = np.zeros((N_l, nc), dtype=dtype)
+            for c, (s, k) in enumerate(nc_cols):
+                for (lid, loc, sgn) in lam_slots[s]:
+                    G[lid, c] += sgn * kernels[s, loc, k]
+            GtG = G.T.conj() @ G + 1e-14 * np.eye(nc)
+            GtG_inv = (np.linalg.inv(GtG) if nc_cols
+                       else np.eye(nc, dtype=dtype))
 
         # -- interface-only decomposition (for BDD exchange) ---------------
         b_of = [dict() for _ in range(S)]
@@ -283,8 +309,16 @@ class Substructure:
             iidx=jnp.asarray(iidx), i_mask=jnp.asarray(i_mask),
             lam_id=jnp.asarray(lam_id), lam_loc=jnp.asarray(lam_loc),
             lam_sign=jnp.asarray(lam_sign, dtype=dtype),
-            G=jnp.asarray(G), GtG_inv=jnp.asarray(GtG_inv),
-            dec_b=dec_b, N_l=N_l, nc=nc, n_max=n_max)
+            kern_off=jnp.asarray(
+                np.concatenate([[0], np.cumsum(r_loc)[:-1]]),
+                dtype=jnp.int32),
+            sub_gid=jnp.arange(S, dtype=jnp.int32),
+            G=None if G is None else jnp.asarray(G),
+            GtG_inv=None if GtG_inv is None else jnp.asarray(GtG_inv),
+            dec_b=dec_b, N_l=N_l, nc=nc, n_max=n_max, S_total=S,
+            coarse_mode=co_mode)
+        if co_mode == "cheby":
+            self.state = _calibrate_coarse(self.state, self.opt)
 
     # ------------------------------------------------------------------
     def solve_gevp(self, nu: int = 4,
@@ -370,8 +404,187 @@ class Substructure:
             Sb_kernels=jnp.asarray(Sb_k),
             sb_r_loc=jnp.asarray(rank, dtype=jnp.int32),
             G_def=G_def, FG_def=FG_def, GFG_inv=GFG_inv)
+        if st.coarse_mode == "cheby":
+            # the balancing space changed — re-estimate the W^T S W bounds
+            st2 = _calibrate_coarse(st2, self.opt)
         self.state = st2
         return st2
+
+
+# ----------------------------------------------------------------------
+# matrix-free (Chebyshev) coarse solves
+# ----------------------------------------------------------------------
+
+def _cheb_inverse(matvec, b, lo, hi, degree: int):
+    """Fixed-degree Chebyshev approximation of A^-1 b, spec(A) in [lo, hi].
+
+    A polynomial in A with *fixed* coefficients is a linear operator, so
+    projections/preconditioners built from it keep (projected) CG valid —
+    same rationale as the inexact local solves (ops/cheby_solve.py)."""
+    rdt = underlying(b.dtype)
+    theta = (jnp.asarray(hi, rdt) + jnp.asarray(lo, rdt)) / 2.0
+    delta = jnp.maximum((jnp.asarray(hi, rdt) - jnp.asarray(lo, rdt)) / 2.0,
+                        jnp.asarray(1e-6, rdt) * theta)
+    sigma1 = theta / delta
+
+    def step(carry, _):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - matvec(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        return (x, r, d, rho_new), None
+
+    c0 = (jnp.zeros_like(b), b, b / theta, 1.0 / sigma1)
+    (x, _, d, _), _ = jax.lax.scan(step, c0, None, length=degree)
+    return x + d
+
+
+def _spd_bounds(matvec, v0, its: int = 48):
+    """(lmax, lmin) of an SPD operator by power + shifted power iteration."""
+    def normalize(v):
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
+        return v / jnp.where(nrm > 0, nrm, 1.0)
+
+    def pw(v, _):
+        w = matvec(v)
+        return normalize(w), jnp.real(jnp.sum(jnp.conj(v) * w))
+
+    v1, lams = jax.lax.scan(pw, normalize(v0), None, length=its)
+    hi = lams[-1]
+    shift = 1.05 * hi
+
+    def pw2(v, _):
+        w = shift * v - matvec(v)
+        return normalize(w), jnp.real(jnp.sum(jnp.conj(v) * w))
+
+    _, lams2 = jax.lax.scan(pw2, v1, None, length=its)
+    return hi, shift - lams2[-1]
+
+
+def _cheb_degree(kappa: float, dtype, override) -> int:
+    """Degree reaching ~dtype accuracy: 2 rho^k <= eps, rho=(sqrt(k)-1)/(sqrt(k)+1)."""
+    if override:
+        return int(override)
+    eps = 30.0 * float(np.finfo(np.dtype(dtype)).eps)
+    if kappa <= 1.0 + 1e-12:
+        return 8
+    rho = (np.sqrt(kappa) - 1.0) / (np.sqrt(kappa) + 1.0)
+    k = int(np.ceil(np.log(2.0 / eps) / -np.log(max(rho, 1e-12))))
+    return int(np.clip(k, 8, 128))
+
+
+def _G_apply(st: SubstructureState, alpha: jax.Array,
+             axis_name: Optional[str] = None) -> jax.Array:
+    """G alpha = B (R alpha) — dense when materialized, else matrix-free."""
+    if st.G is not None:
+        return st.G @ alpha
+    return b_apply(st, _kernel_expand(st, alpha), axis_name)
+
+
+def _Gt_apply(st: SubstructureState, lam: jax.Array,
+              axis_name: Optional[str] = None) -> jax.Array:
+    """G^T lam = R^T (B^T lam)."""
+    if st.G is not None:
+        return st.G.T.conj() @ lam
+    return _kernel_dots(st, bt_apply(st, lam), axis_name)
+
+
+def _gtg_solve(st: SubstructureState, rhs: jax.Array,
+               axis_name: Optional[str] = None) -> jax.Array:
+    """(G^T G)^-1 rhs: dense inverse or fixed-degree Chebyshev."""
+    if st.coarse_mode == "dense":
+        return st.GtG_inv @ rhs
+    return _cheb_inverse(
+        lambda a: _Gt_apply(st, _G_apply(st, a, axis_name), axis_name),
+        rhs, st.gtg_lo, st.gtg_hi, st.coarse_degree)
+
+
+def _balancing_cols(st: SubstructureState) -> jax.Array:
+    """(S, r_max) global balancing-column ids: sub_gid * r_max + k."""
+    r_max = st.Sb_kernels.shape[2]
+    return (st.sub_gid[:, None] * r_max
+            + jnp.arange(r_max, dtype=jnp.int32)[None, :])
+
+
+def _balancing_apply(st: SubstructureState, c: jax.Array,
+                     axis_name: Optional[str] = None) -> jax.Array:
+    """W c without materializing W: exchange(D Sb_kernels c) -> consistent.
+    c: (ncb, mu) replicated, indexed by global balancing columns."""
+    W0 = st.scaling[:, :, None] * st.Sb_kernels
+    e = jnp.einsum("snk,skm->snm", W0, c[_balancing_cols(st)])
+    return exchange(st.dec_b, e, axis_name)
+
+
+def _balancing_dots(st: SubstructureState, y: jax.Array,
+                    axis_name: Optional[str] = None) -> jax.Array:
+    """W^T D y for *consistent* interface vectors y — purely local einsum
+    (each balancing column is supported on one subdomain and
+    sum_copies d = 1, so <exchange(e), D y> = <e, y>), scattered to the
+    global (ncb, mu) column layout."""
+    S, nb, r_max = st.Sb_kernels.shape
+    W0 = st.scaling[:, :, None] * st.Sb_kernels
+    loc = jnp.einsum("snk,snm->skm", jnp.conj(W0), y)
+    ncb = st.S_total * r_max
+    out = jnp.zeros((ncb, y.shape[-1]), dtype=y.dtype)
+    out = out.at[_balancing_cols(st).reshape(-1)].add(
+        loc.reshape(S * r_max, -1))
+    return psum_if(out, axis_name)
+
+
+def _balancing_active(st: SubstructureState,
+                      axis_name: Optional[str] = None) -> jax.Array:
+    """(ncb,) bool — which global balancing columns exist."""
+    S, _, r_max = st.Sb_kernels.shape
+    act = (jnp.arange(r_max)[None, :] < st.sb_r_loc[:, None])
+    ncb = st.S_total * r_max
+    num = jnp.zeros((ncb,), dtype=jnp.int32)
+    num = num.at[_balancing_cols(st).reshape(-1)].add(
+        act.reshape(-1).astype(jnp.int32))
+    return psum_if(num, axis_name) > 0
+
+
+def _wsw_matvec(st: SubstructureState, c: jax.Array, active: jax.Array,
+                axis_name: Optional[str] = None) -> jax.Array:
+    """(W^T S W) c, identity on padded (inactive) balancing slots."""
+    y = bdd_operator(st, _balancing_apply(st, c, axis_name), axis_name)
+    return jnp.where(active[:, None], _balancing_dots(st, y, axis_name), c)
+
+
+def _calibrate_coarse(st: SubstructureState,
+                      opt: Options) -> SubstructureState:
+    """Estimate spectral bounds of G^T G and W^T S W and pick the Chebyshev
+    degrees (setup-time; re-run after GenEO enrichment)."""
+    dtype = st.S_b.dtype
+    rdt = underlying(dtype)
+    override = opt.val("substructuring_coarse_degree")
+
+    v0 = jax.random.normal(jax.random.PRNGKey(17), (st.nc, 1)).astype(dtype)
+    hi, lo = _spd_bounds(lambda a: _Gt_apply(st, _G_apply(st, a)), v0)
+    ghi, glo = float(hi), float(lo)
+    if not ghi > 0:
+        ghi, glo = 1.0, 0.9
+    ghi *= 1.05
+    glo = float(np.clip(0.5 * glo, 1e-8 * ghi, 0.9 * ghi))
+    gdeg = _cheb_degree(ghi / glo, rdt, override)
+
+    r_max = st.Sb_kernels.shape[2]
+    active = _balancing_active(st)
+    w0 = jax.random.normal(jax.random.PRNGKey(29),
+                           (st.S_total * r_max, 1)).astype(dtype)
+    w0 = jnp.where(active[:, None], w0, 0)
+    whi, wlo = _spd_bounds(lambda c: _wsw_matvec(st, c, active), w0)
+    bhi, blo = float(whi), float(wlo)
+    if not bhi > 0:
+        bhi, blo = 1.0, 0.9
+    bhi *= 1.05
+    blo = float(np.clip(0.5 * blo, 1e-8 * bhi, 0.9 * bhi))
+    bdeg = _cheb_degree(bhi / blo, rdt, override)
+
+    return dataclasses.replace(
+        st, coarse_degree=gdeg, bdd_coarse_degree=bdeg,
+        gtg_lo=jnp.asarray(glo, rdt), gtg_hi=jnp.asarray(ghi, rdt),
+        wsw_lo=jnp.asarray(blo, rdt), wsw_hi=jnp.asarray(bhi, rdt))
 
 
 # ----------------------------------------------------------------------
@@ -447,10 +660,11 @@ def feti_precond(st: SubstructureState, lam: jax.Array,
     return b_apply(st, y, axis_name)
 
 
-def feti_project(st: SubstructureState, lam: jax.Array) -> jax.Array:
+def feti_project(st: SubstructureState, lam: jax.Array,
+                 axis_name: Optional[str] = None) -> jax.Array:
     """P lambda = lambda - G (G^T G)^-1 G^T lambda (Q = I)."""
-    coef = st.GtG_inv @ (st.G.T.conj() @ lam)
-    return lam - st.G @ coef
+    coef = _gtg_solve(st, _Gt_apply(st, lam, axis_name), axis_name)
+    return lam - _G_apply(st, coef, axis_name)
 
 
 class FetiResult(NamedTuple):
@@ -473,20 +687,21 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     Kf = jnp.einsum("snk,skm->snm", st.K_pinv, f)
     d = b_apply(st, Kf, axis_name)
     e = _kernel_dots(st, f, axis_name)                       # (nc, mu)
-    lam0 = st.G @ (st.GtG_inv @ e)                           # G (G^T G)^-1 e
+    lam0 = _G_apply(st, _gtg_solve(st, e, axis_name), axis_name)
 
     defl = st.G_def is not None
     if defl:
         # deflation initialization on the constraint-projected residual
-        r_tmp = feti_project(st, d - feti_operator(st, lam0, axis_name))
+        r_tmp = feti_project(st, d - feti_operator(st, lam0, axis_name),
+                             axis_name)
         lam0 = lam0 + st.G_def @ (st.GFG_inv @ (st.G_def.T.conj() @ r_tmp))
-    r0 = feti_project(st, d - feti_operator(st, lam0, axis_name))
+    r0 = feti_project(st, d - feti_operator(st, lam0, axis_name), axis_name)
     norm = jnp.sqrt(jnp.sum(jnp.abs(r0) ** 2, axis=0)).astype(rdtype)
     norm = jnp.where(norm > 0, norm, 1.0)
 
     def prec(r):
         z = feti_precond(st, r, axis_name, precond)
-        z = feti_project(st, z)
+        z = feti_project(st, z, axis_name)
         if defl:
             # keep search directions F-orthogonal to the deflation space
             z = z - st.G_def @ (st.GFG_inv @ (st.FG_def.T.conj() @ z))
@@ -507,7 +722,7 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
         return (c.it <= max_it) & jnp.any(c.res > tol)
 
     def body(c: Carry) -> Carry:
-        q = feti_project(st, feti_operator(st, c.p, axis_name))
+        q = feti_project(st, feti_operator(st, c.p, axis_name), axis_name)
         pq = jnp.sum(jnp.conj(c.p) * q, axis=0)
         alpha = c.rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
         lam = c.lam + alpha[None, :] * c.p
@@ -529,36 +744,39 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     w = f - bt_apply(st, cf.lam)
     u = jnp.einsum("snk,skm->snm", st.K_pinv, w)
     jump_u = b_apply(st, u, axis_name)
-    alpha = -(st.GtG_inv @ (st.G.T.conj() @ jump_u))
+    alpha = -_gtg_solve(st, _Gt_apply(st, jump_u, axis_name), axis_name)
     u = u + _kernel_expand(st, alpha)
     return FetiResult(u=u, lam=cf.lam, iterations=cf.it - 1, rel_res=cf.res)
 
 
 def _kernel_dots(st: SubstructureState, f: jax.Array,
                  axis_name: Optional[str]) -> jax.Array:
-    """e[(s,k)] = kernels_s[:,k]^T f_s -> (nc,) stacked like G columns."""
+    """e[(s,k)] = kernels_s[:,k]^T f_s -> (nc,) stacked like G columns.
+
+    Columns are ordered (s, k), k < r_loc[s]; the *global* column of
+    subdomain s starts at kern_off[s], so the scatter stays correct when
+    the leading axis is a shard of the global subdomain set."""
     local = jnp.einsum("snk,snm->skm", jnp.conj(st.kernels), f)
-    # columns of G are ordered (s, k) with k < r_loc[s]; flatten and select
     S, _, r_max = st.kernels.shape
     mu = f.shape[-1]
     flat = local.reshape(S * r_max, mu)
-    active = (jnp.arange(r_max)[None, :] < st.r_loc[:, None]).reshape(-1)
-    idx = jnp.cumsum(active) - 1
+    active = (jnp.arange(r_max)[None, :] < st.r_loc[:, None])
+    idx = (st.kern_off[:, None] + jnp.arange(r_max)[None, :])
+    idx = jnp.where(active, idx, st.nc).reshape(-1)
     out = jnp.zeros((st.nc, mu), dtype=f.dtype)
-    out = out.at[jnp.where(active, idx, st.nc)].add(
-        jnp.where(active[:, None], flat, 0), mode="drop")
+    out = out.at[idx].add(
+        jnp.where(active.reshape(-1)[:, None], flat, 0), mode="drop")
     return psum_if(out, axis_name) if axis_name else out
 
 
 def _kernel_expand(st: SubstructureState, alpha: jax.Array) -> jax.Array:
-    """u += R alpha with the same (s, k) column ordering."""
+    """u += R alpha with the same global (s, k) column ordering."""
     S, n, r_max = st.kernels.shape
     mu = alpha.shape[-1]
-    active = (jnp.arange(r_max)[None, :] < st.r_loc[:, None]).reshape(-1)
-    idx = jnp.cumsum(active) - 1
-    full = jnp.where(active[:, None],
-                     alpha[jnp.where(active, idx, 0)], 0)
-    full = full.reshape(S, r_max, mu)
+    active = (jnp.arange(r_max)[None, :] < st.r_loc[:, None])
+    idx = st.kern_off[:, None] + jnp.arange(r_max)[None, :]
+    full = jnp.where(active[:, :, None],
+                     alpha[jnp.where(active, idx, 0)], 0)   # (S, r_max, mu)
     return jnp.einsum("snk,skm->snm", st.kernels, full)
 
 
@@ -611,34 +829,46 @@ def bdd_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
 
     # balancing coarse space: columns W^(s,k) = exchange(D_s Sb_kernel)
     _, _, r_max = st.Sb_kernels.shape
-    W0 = st.scaling[:, :, None] * st.Sb_kernels              # (S, nb, r)
-    ncb = S * r_max
-    cols = jnp.arange(S)[:, None] * r_max + jnp.arange(r_max)[None, :]
-    Wg = jnp.zeros((S, nb, ncb), dtype=f.dtype)
-    s_ix = jnp.broadcast_to(jnp.arange(S)[:, None, None], (S, nb, r_max))
-    n_ix = jnp.broadcast_to(jnp.arange(nb)[None, :, None], (S, nb, r_max))
-    c_ix = jnp.broadcast_to(cols[:, None, :], (S, nb, r_max))
-    Wg = Wg.at[s_ix, n_ix, c_ix].set(W0)
-    W = exchange(st.dec_b, Wg, axis_name)                    # consistent cols
-    active = (jnp.arange(r_max)[None, :]
-              < st.sb_r_loc[:, None]).reshape(-1)            # (ncb,)
-
+    ncb = st.S_total * r_max
+    active = _balancing_active(st, axis_name)                # (ncb,)
     dw = st.dec_b.d[:, :, None]
 
-    def wdot(X, y):
-        """consistent-vector dots: (S,nb,k)^T D y -> (k, mu)."""
-        local = jnp.einsum("snk,snm->km", jnp.conj(X), dw * y)
-        return psum_if(local, axis_name)
+    if st.coarse_mode == "cheby":
+        # matrix-free: W never materialized (dense form is (S, nb, S*r) —
+        # quadratic in subdomain count), (W^T S W)^-1 by fixed-degree
+        # Chebyshev with setup-estimated bounds
+        def coarse(r):
+            rhs = jnp.where(active[:, None],
+                            _balancing_dots(st, r, axis_name), 0)
+            c = _cheb_inverse(
+                lambda x: _wsw_matvec(st, x, active, axis_name),
+                rhs, st.wsw_lo, st.wsw_hi, st.bdd_coarse_degree)
+            c = jnp.where(active[:, None], c, 0)
+            return _balancing_apply(st, c, axis_name), c
+    else:
+        W0 = st.scaling[:, :, None] * st.Sb_kernels          # (S, nb, r)
+        cols = _balancing_cols(st)
+        Wg = jnp.zeros((S, nb, ncb), dtype=f.dtype)
+        s_ix = jnp.broadcast_to(jnp.arange(S)[:, None, None], (S, nb, r_max))
+        n_ix = jnp.broadcast_to(jnp.arange(nb)[None, :, None], (S, nb, r_max))
+        c_ix = jnp.broadcast_to(cols[:, None, :], (S, nb, r_max))
+        Wg = Wg.at[s_ix, n_ix, c_ix].set(W0)
+        W = exchange(st.dec_b, Wg, axis_name)                # consistent cols
 
-    SW = bdd_operator(st, W, axis_name)                      # (S, nb, ncb)
-    WtSW = wdot(W, SW)                                       # (ncb, ncb)
-    eye = jnp.eye(ncb, dtype=f.dtype)
-    WtSW = jnp.where(active[:, None] & active[None, :], WtSW, eye)
-    WtSW_inv = jnp.linalg.pinv(0.5 * (WtSW + WtSW.T.conj()))
+        def wdot(X, y):
+            """consistent-vector dots: (S,nb,k)^T D y -> (k, mu)."""
+            local = jnp.einsum("snk,snm->km", jnp.conj(X), dw * y)
+            return psum_if(local, axis_name)
 
-    def coarse(r):
-        c = WtSW_inv @ jnp.where(active[:, None], wdot(W, r), 0)
-        return jnp.einsum("snk,km->snm", W, c), c
+        SW = bdd_operator(st, W, axis_name)                  # (S, nb, ncb)
+        WtSW = wdot(W, SW)                                   # (ncb, ncb)
+        eye = jnp.eye(ncb, dtype=f.dtype)
+        WtSW = jnp.where(active[:, None] & active[None, :], WtSW, eye)
+        WtSW_inv = jnp.linalg.pinv(0.5 * (WtSW + WtSW.T.conj()))
+
+        def coarse(r):
+            c = WtSW_inv @ jnp.where(active[:, None], wdot(W, r), 0)
+            return jnp.einsum("snk,km->snm", W, c), c
 
     u0, _ = coarse(g)
     r0 = g - bdd_operator(st, u0, axis_name)

@@ -42,6 +42,47 @@ def test_sharded_matches_batched(n_dev, S):
                                atol=1e-10)
 
 
+@pytest.mark.parametrize("coarse", ["dense", "cheby"])
+def test_sharded_substructure(coarse):
+    """FETI and BDD under shard_map must match the batched solve — the
+    coarse scatters use *global* column offsets (kern_off / sub_gid), so
+    per-shard slices stay correct."""
+    from hpddm_tpu.models import nonoverlap
+    from hpddm_tpu.parallel.mesh import (make_mesh, shard_substructure,
+                                         sharded_bdd_solve,
+                                         sharded_feti_solve)
+    from hpddm_tpu.precond.substructure import (Substructure, bdd_solve,
+                                                feti_solve)
+
+    S, n_dev = 4, 4
+    gen = nonoverlap.generate(S, 20, 20)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                       options=Options(substructuring_coarse=coarse))
+    st = sub.state
+    f = np.zeros((S, sub.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s], 0] = gen.f[s]
+    f = jnp.asarray(f)
+
+    ref_feti = feti_solve(st, f, tol=1e-9, max_it=200)
+    ref_bdd = bdd_solve(st, f, tol=1e-9, max_it=200)
+
+    mesh = make_mesh(n_dev)
+    st_sh = shard_substructure(st, mesh)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("sub", None, None)))
+
+    res_f = sharded_feti_solve(st_sh, f_sh, mesh, tol=1e-9, max_it=200)
+    assert abs(int(res_f.iterations) - int(ref_feti.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res_f.u), np.asarray(ref_feti.u),
+                               atol=1e-8)
+
+    res_b = sharded_bdd_solve(st_sh, f_sh, mesh, tol=1e-9, max_it=200)
+    assert abs(int(res_b.iterations) - int(ref_bdd.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res_b.u), np.asarray(ref_bdd.u),
+                               atol=1e-8)
+
+
 def test_sharded_two_level():
     S, n_dev = 4, 4
     gen, sch, f = _setup(S, schwarz_coarse_correction="deflated", geneo_nu=4)

@@ -137,6 +137,46 @@ def test_geneo_enrichment():
     _check_solution(gen, enr_bdd.u, atol=1e-5)
 
 
+def test_cheby_coarse_feti_bdd():
+    """-hpddm_substructuring_coarse cheby: matrix-free fixed-degree
+    Chebyshev coarse solves (no replicated dense G, no materialized BDD
+    balancing basis) must reproduce the dense-coarse solutions and stay
+    within a few iterations of them."""
+    from hpddm_tpu.options import Options
+    gen = nonoverlap.generate(9, 24, 24)
+    dense = Substructure(gen.mats, gen.neighbors, gen.mappings)
+    cheb = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                        options=Options(substructuring_coarse="cheby"))
+    assert cheb.state.G is None and cheb.state.GtG_inv is None
+    assert cheb.state.coarse_degree >= 8
+    f = _pack_f(gen, dense)
+    r_dense = feti_solve(dense.state, f, tol=1e-10, max_it=300)
+    r_cheb = feti_solve(cheb.state, f, tol=1e-10, max_it=300)
+    _check_solution(gen, r_cheb.u, atol=1e-5)
+    assert abs(int(r_cheb.iterations) - int(r_dense.iterations)) <= 5
+    b_dense = bdd_solve(dense.state, f, tol=1e-10, max_it=300)
+    b_cheb = bdd_solve(cheb.state, f, tol=1e-10, max_it=300)
+    _check_solution(gen, b_cheb.u, atol=1e-5)
+    assert abs(int(b_cheb.iterations) - int(b_dense.iterations)) <= 10
+
+
+def test_cheby_coarse_geneo_enrichment():
+    """Chebyshev coarse + GenEO enrichment: bounds are re-estimated after
+    the balancing space grows; solutions stay exact."""
+    from hpddm_tpu.options import Options
+    gen = nonoverlap.generate(9, 24, 24, contrast=1e4, checker=6)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                       options=Options(substructuring_coarse="cheby"))
+    f = _pack_f(gen, sub)
+    base = feti_solve(sub.state, f, tol=1e-9, max_it=400)
+    st = sub.solve_gevp(nu=6, feti_deflation=True)
+    defl = feti_solve(st, f, tol=1e-9, max_it=400)
+    assert int(defl.iterations) < int(base.iterations)
+    _check_solution(gen, defl.u, atol=1e-5)
+    enr_bdd = bdd_solve(st, f, tol=1e-9, max_it=400)
+    _check_solution(gen, enr_bdd.u, atol=1e-5)
+
+
 def test_stiffness_scaling():
     """-hpddm_substructuring_scaling stiffness on a heterogeneous split."""
     from hpddm_tpu.options import Options
