@@ -73,11 +73,15 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
     "substructuring_scaling": ("enum", "multiplicity",
                                ("multiplicity", "stiffness", "coefficient"),
                                "Scaling used for the FETI/BDD preconditioner"),
-    "substructuring_coarse": ("enum", "dense", ("dense", "cheby"),
-                              "FETI/BDD coarse solves: replicated dense "
-                              "factorization, or matrix-free fixed-degree "
-                              "Chebyshev (no replicated G / materialized "
-                              "balancing basis — scales past nc ~ 1e4)"),
+    "substructuring_coarse": ("enum", "dense", ("dense", "mfree", "cheby"),
+                              "FETI/BDD coarse solves: dense = replicated "
+                              "G + dense factorization; mfree = matrix-"
+                              "free G/W applies with the exact (small) "
+                              "coarse matrix assembled slot-wise (scales "
+                              "past nc ~ 1e4, exact iteration parity); "
+                              "cheby = fully matrix-free fixed-degree "
+                              "Chebyshev (approximate; best for BDD or "
+                              "moderate subdomain counts)"),
     "substructuring_coarse_degree": ("integer", None, None,
                                      "Chebyshev degree of the matrix-free "
                                      "substructuring coarse solves (default: "

@@ -18,16 +18,21 @@ HPDDM_BDD.hpp:40-334):
   one gather + scatter-add (+psum when sharded),
 * the coarse projection P = I - G (G^T G)^-1 G^T with G = B R uses a
   replicated dense coarse solve (``Feti::project``, HPDDM_FETI.hpp:339-368)
-  by default; ``-hpddm_substructuring_coarse cheby`` switches both FETI and
-  BDD to *matrix-free* coarse solves — G and G^T are applied through the
-  adjoint pairs (b_apply o _kernel_expand / _kernel_dots o bt_apply), the
-  BDD balancing basis W is never materialized (its dense form is S x nb x
-  S*r — quadratic in subdomain count), and (G^T G)^-1 / (W^T S W)^-1 are
-  replaced by a fixed-degree Chebyshev polynomial. A fixed-degree
-  Chebyshev is a *linear* operator, so the projected CG stays valid — the
-  same design as the inexact local solves (ops/cheby_solve.py) and the
-  TPU answer to the reference's InexactCoarseOperator
-  (include/HPDDM_inexact_coarse_operator.hpp:48) for substructuring,
+  by default; ``-hpddm_substructuring_coarse mfree`` keeps the solve exact
+  but *matrix-free*: G and G^T are applied through the adjoint pairs
+  (b_apply o _kernel_expand / _kernel_dots o bt_apply), the BDD balancing
+  basis W is never materialized (its dense form is S x nb x S*r —
+  quadratic in subdomain count), and the small coarse matrices are
+  assembled without their bases (G^H G slot-wise on the host; W^T S W by
+  chunked batched applies) — exact iteration parity at any subdomain
+  count. ``cheby`` goes further and replaces (G^T G)^-1 / (W^T S W)^-1 by
+  a fixed-degree Chebyshev polynomial (a *linear* operator, so projected
+  CG stays valid — the same design as the inexact local solves,
+  ops/cheby_solve.py, and the TPU answer to the reference's
+  InexactCoarseOperator, include/HPDDM_inexact_coarse_operator.hpp:48);
+  note cond(G^T G) grows with the subdomain-graph diameter, so cheby's
+  FETI projection is for moderate subdomain counts — mfree is the
+  scalable exact path,
 * BDD works on consistent interface vectors with the balancing
   Neumann-Neumann preconditioner (``Bdd::precond``, HPDDM_BDD.hpp:168+).
 
@@ -273,6 +278,8 @@ class Substructure:
         if not nc_cols:
             co_mode = "dense"        # nothing to invert; keep the eye path
         G = GtG_inv = None
+        kern_off = np.concatenate([[0], np.cumsum(r_loc)[:-1]]).astype(
+            np.int64)
         if co_mode == "dense":
             G = np.zeros((N_l, nc), dtype=dtype)
             for c, (s, k) in enumerate(nc_cols):
@@ -281,6 +288,28 @@ class Substructure:
             GtG = G.T.conj() @ G + 1e-14 * np.eye(nc)
             GtG_inv = (np.linalg.inv(GtG) if nc_cols
                        else np.eye(nc, dtype=dtype))
+        elif co_mode == "mfree":
+            # exact G^H G assembled slot-wise — G itself (N_l x nc, the
+            # replicated memory hog) is never formed; each multiplier id is
+            # touched by at most two subdomains, so this is O(slots * r)
+            from collections import defaultdict
+            contrib: dict = defaultdict(list)
+            for s in range(S):
+                r = int(r_loc[s])
+                if r == 0:
+                    continue
+                for (lid, loc, sgn) in lam_slots[s]:
+                    for k in range(r):
+                        v = sgn * kernels[s, loc, k]
+                        if v != 0.0:
+                            contrib[lid].append((kern_off[s] + k, v))
+            GtG = np.zeros((nc, nc), dtype=dtype)
+            for lst in contrib.values():
+                for c1, v1 in lst:
+                    for c2, v2 in lst:
+                        GtG[c1, c2] += np.conj(v1) * v2
+            GtG += 1e-14 * np.eye(nc)
+            GtG_inv = np.linalg.inv(GtG)
 
         # -- interface-only decomposition (for BDD exchange) ---------------
         b_of = [dict() for _ in range(S)]
@@ -309,9 +338,7 @@ class Substructure:
             iidx=jnp.asarray(iidx), i_mask=jnp.asarray(i_mask),
             lam_id=jnp.asarray(lam_id), lam_loc=jnp.asarray(lam_loc),
             lam_sign=jnp.asarray(lam_sign, dtype=dtype),
-            kern_off=jnp.asarray(
-                np.concatenate([[0], np.cumsum(r_loc)[:-1]]),
-                dtype=jnp.int32),
+            kern_off=jnp.asarray(kern_off, dtype=jnp.int32),
             sub_gid=jnp.arange(S, dtype=jnp.int32),
             G=None if G is None else jnp.asarray(G),
             GtG_inv=None if GtG_inv is None else jnp.asarray(GtG_inv),
@@ -492,8 +519,9 @@ def _Gt_apply(st: SubstructureState, lam: jax.Array,
 
 def _gtg_solve(st: SubstructureState, rhs: jax.Array,
                axis_name: Optional[str] = None) -> jax.Array:
-    """(G^T G)^-1 rhs: dense inverse or fixed-degree Chebyshev."""
-    if st.coarse_mode == "dense":
+    """(G^T G)^-1 rhs: exact small inverse (dense/mfree modes) or
+    fixed-degree Chebyshev (cheby mode)."""
+    if st.GtG_inv is not None:
         return st.GtG_inv @ rhs
     return _cheb_inverse(
         lambda a: _Gt_apply(st, _G_apply(st, a, axis_name), axis_name),
@@ -844,6 +872,26 @@ def bdd_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
                 lambda x: _wsw_matvec(st, x, active, axis_name),
                 rhs, st.wsw_lo, st.wsw_hi, st.bdd_coarse_degree)
             c = jnp.where(active[:, None], c, 0)
+            return _balancing_apply(st, c, axis_name), c
+    elif st.coarse_mode == "mfree":
+        # exact W^T S W assembled by chunked matrix-free applies — W
+        # itself ((S, nb, S*r): quadratic in subdomain count) is never
+        # materialized; peak extra memory is one (S, nb, chunk) slab
+        chunk = min(128, ncb)
+        eye = jnp.eye(ncb, dtype=f.dtype)
+        blocks = []
+        for c0 in range(0, ncb, chunk):
+            E = eye[:, c0:c0 + chunk]
+            blocks.append(_balancing_dots(
+                st, bdd_operator(st, _balancing_apply(st, E, axis_name),
+                                 axis_name), axis_name))
+        WtSW = jnp.concatenate(blocks, axis=1)
+        WtSW = jnp.where(active[:, None] & active[None, :], WtSW, eye)
+        WtSW_inv = jnp.linalg.pinv(0.5 * (WtSW + WtSW.T.conj()))
+
+        def coarse(r):
+            c = WtSW_inv @ jnp.where(active[:, None],
+                                     _balancing_dots(st, r, axis_name), 0)
             return _balancing_apply(st, c, axis_name), c
     else:
         W0 = st.scaling[:, :, None] * st.Sb_kernels          # (S, nb, r)

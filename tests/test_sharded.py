@@ -42,7 +42,7 @@ def test_sharded_matches_batched(n_dev, S):
                                atol=1e-10)
 
 
-@pytest.mark.parametrize("coarse", ["dense", "cheby"])
+@pytest.mark.parametrize("coarse", ["dense", "mfree", "cheby"])
 def test_sharded_substructure(coarse):
     """FETI and BDD under shard_map must match the batched solve — the
     coarse scatters use *global* column offsets (kern_off / sub_gid), so

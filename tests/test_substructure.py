@@ -137,27 +137,32 @@ def test_geneo_enrichment():
     _check_solution(gen, enr_bdd.u, atol=1e-5)
 
 
-def test_cheby_coarse_feti_bdd():
-    """-hpddm_substructuring_coarse cheby: matrix-free fixed-degree
-    Chebyshev coarse solves (no replicated dense G, no materialized BDD
-    balancing basis) must reproduce the dense-coarse solutions and stay
-    within a few iterations of them."""
+@pytest.mark.parametrize("mode", ["mfree", "cheby"])
+def test_matrix_free_coarse_feti_bdd(mode):
+    """-hpddm_substructuring_coarse mfree|cheby: matrix-free coarse solves
+    (no replicated dense G, no materialized BDD balancing basis) must
+    reproduce the dense-coarse solutions. mfree is exact (same iteration
+    counts); cheby is a fixed-degree Chebyshev approximation (within a few
+    iterations)."""
     from hpddm_tpu.options import Options
     gen = nonoverlap.generate(9, 24, 24)
     dense = Substructure(gen.mats, gen.neighbors, gen.mappings)
-    cheb = Substructure(gen.mats, gen.neighbors, gen.mappings,
-                        options=Options(substructuring_coarse="cheby"))
-    assert cheb.state.G is None and cheb.state.GtG_inv is None
-    assert cheb.state.coarse_degree >= 8
+    mf = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                      options=Options(substructuring_coarse=mode))
+    assert mf.state.G is None
+    if mode == "cheby":
+        assert mf.state.GtG_inv is None
+        assert mf.state.coarse_degree >= 8
     f = _pack_f(gen, dense)
     r_dense = feti_solve(dense.state, f, tol=1e-10, max_it=300)
-    r_cheb = feti_solve(cheb.state, f, tol=1e-10, max_it=300)
-    _check_solution(gen, r_cheb.u, atol=1e-5)
-    assert abs(int(r_cheb.iterations) - int(r_dense.iterations)) <= 5
+    r_mf = feti_solve(mf.state, f, tol=1e-10, max_it=300)
+    _check_solution(gen, r_mf.u, atol=1e-5)
+    it_slack = 0 if mode == "mfree" else 5
+    assert abs(int(r_mf.iterations) - int(r_dense.iterations)) <= it_slack
     b_dense = bdd_solve(dense.state, f, tol=1e-10, max_it=300)
-    b_cheb = bdd_solve(cheb.state, f, tol=1e-10, max_it=300)
-    _check_solution(gen, b_cheb.u, atol=1e-5)
-    assert abs(int(b_cheb.iterations) - int(b_dense.iterations)) <= 10
+    b_mf = bdd_solve(mf.state, f, tol=1e-10, max_it=300)
+    _check_solution(gen, b_mf.u, atol=1e-5)
+    assert abs(int(b_mf.iterations) - int(b_dense.iterations)) <= it_slack + 5
 
 
 def test_cheby_coarse_geneo_enrichment():
