@@ -51,7 +51,14 @@ def main():
     t0 = time.perf_counter()
     res = solve_jit(f)
     jax.block_until_ready(res.x)
-    solve_time = time.perf_counter() - t0
+    solve_1call = time.perf_counter() - t0
+    # steady-state throughput: back-to-back solves pipeline the axon
+    # tunnel's per-call overhead (absent on a local TPU runtime)
+    reps = 6
+    t0 = time.perf_counter()
+    results = [solve_jit(f) for _ in range(reps)]
+    jax.block_until_ready(results[-1].x)
+    solve_time = (time.perf_counter() - t0) / reps
     its = int(res.iterations)
 
     # --- SpMV throughput (local SpMM + halo), larger batch ---------------
@@ -68,26 +75,41 @@ def main():
 
     from jax import lax
 
-    @jax.jit
-    def gmv_chain(v):
-        out, _ = lax.scan(lambda c, _: (gmv(state2, c), None), v, None,
-                          length=20)
-        return out
+    def gmv_chain(length):
+        @jax.jit
+        def chain(v):
+            out, _ = lax.scan(lambda c, _: (gmv(state2, c), None), v, None,
+                              length=length)
+            return out
+        return chain
 
-    y = gmv_chain(x)
+    # length-differenced timing: the axon tunnel adds a large *per-call*
+    # overhead (~26 ms for complex executables — tools/bench_lenscale.py)
+    # that a fixed-length scan smears into the step cost; two lengths in
+    # single calls isolate the true device per-step time
+    L1, L2 = 10, 60
+    c1, c2 = gmv_chain(L1), gmv_chain(L2)
+    y = c2(c1(x))
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
+    w1 = w2 = float("inf")
     for _ in range(3):
-        y = gmv_chain(y)
-    jax.block_until_ready(y)
-    spmv_time = (time.perf_counter() - t0) / (3 * 20)
+        t0 = time.perf_counter()
+        y = c1(y)
+        jax.block_until_ready(y)
+        w1 = min(w1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        y = c2(y)
+        jax.block_until_ready(y)
+        w2 = min(w2, time.perf_counter() - t0)
+    spmv_time = max((w2 - w1) / (L2 - L1), 1e-9)
     nnz = sum(m.nnz for m in gen2.mats)
     nnz_per_s = nnz / spmv_time
 
     print(json.dumps({
         "metric": "2d_diffusion_geneo_ras_gmres",
         "value": round(solve_time, 6),
-        "unit": "s_to_tol(%s, its=%d, spmv_nnz_per_s=%.3e)" % (tol, its, nnz_per_s),
+        "unit": "s_to_tol(%s, its=%d, 1call=%.3fs, spmv_nnz_per_s=%.3e)"
+                % (tol, its, solve_1call, nnz_per_s),
         "vs_baseline": round(45.0 / max(its, 1), 3),
     }))
 

@@ -60,6 +60,15 @@ class GridPlan:
     gy: int = dataclasses.field(default=0, metadata=dict(static=True))
     regular: bool = dataclasses.field(default=False,
                                       metadata=dict(static=True))
+    # static copies of sxw/syw (tuple[dir][s]): the alignment shifts are
+    # decomposition constants taking only 2-3 distinct values, so the
+    # realign select collapses to that many *static* shifts + masks
+    # instead of 2t+1 traced variants (each tiny op costs ~1-4 us on TPU;
+    # the op count was the unattributed exchange floor — PERF.md)
+    sxw_s: tuple = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
+    syw_s: tuple = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
 
 
 def build_grid_plan(boxes) -> Optional[GridPlan]:
@@ -119,7 +128,9 @@ def build_grid_plan(boxes) -> Optional[GridPlan]:
     return GridPlan(nbr=jnp.asarray(nbr), sxw=jnp.asarray(sxw),
                     syw=jnp.asarray(syw), onehot=jnp.asarray(onehot),
                     H=H, W=W, t=t, S=S,
-                    gx=gx_n, gy=gy_n, regular=regular)
+                    gx=gx_n, gy=gy_n, regular=regular,
+                    sxw_s=tuple(map(tuple, sxw.T.tolist())),
+                    syw_s=tuple(map(tuple, syw.T.tolist())))
 
 
 def _static_shift(vals: jax.Array, v: int, axis: int) -> jax.Array:
@@ -153,6 +164,28 @@ def _shift_select(vals: jax.Array, k: jax.Array, axis: int,
     return jnp.sum(jnp.where(sel, variants, 0), axis=0)
 
 
+def _shift_select_static(vals: jax.Array, k_np: np.ndarray, axis: int,
+                         s_off: int) -> jax.Array:
+    """``_shift_select`` with *static* per-subdomain shifts: one static
+    shift (+ static mask when several values coexist) per distinct value —
+    typically 2-3 ops instead of 2t+1 traced variants.
+
+    k_np: (S_total,) host ints; s_off: first global subdomain of this
+    shard (vals has S_loc leading rows starting there)."""
+    S_loc = vals.shape[0]
+    k_loc = np.asarray(k_np[s_off: s_off + S_loc])
+    distinct = sorted(set(k_loc.tolist()))
+    if len(distinct) == 1:
+        return _static_shift(vals, int(distinct[0]), axis)
+    out = None
+    for v in distinct:
+        mask = jnp.asarray(k_loc == v).reshape(
+            (S_loc,) + (1,) * (vals.ndim - 1))
+        term = jnp.where(mask, _static_shift(vals, int(v), axis), 0)
+        out = term if out is None else out + term
+    return out
+
+
 import os
 
 # composition of the final canvas update: "band" = row-band concat (one
@@ -163,7 +196,128 @@ _COMPOSE = os.environ.get("HPDDM_TPU_GRID_COMPOSE", "band")
 
 def grid_exchange(plan: GridPlan, x: jax.Array,
                   axis_name: Optional[str] = None) -> jax.Array:
-    """Sum-reduce duplicated unknowns on a uniform grid decomposition."""
+    """Sum-reduce duplicated unknowns on a uniform grid decomposition.
+
+    Runs on a (S, H, W*mu) canvas: merging the RHS axis into the minor
+    dimension keeps the vector lanes running across W — the rank-4
+    (S, H, W, mu) form puts the size-mu axis minor, and at mu=1 every
+    canvas op then uses 1 of 128 lanes (measured: the whole 0.5 ms
+    exchange floor at 2048^2/16; takes/selects are ~free)."""
+    if os.environ.get("HPDDM_TPU_GRID_LAYOUT") == "4d":
+        return _grid_exchange_4d(plan, x, axis_name)
+    S_loc, n_max, mu = x.shape
+    H, W, t = plan.H, plan.W, plan.t
+    Wm, tm = W * mu, t * mu
+    x4 = x[:, : H * W, :].reshape(S_loc, H, Wm)
+
+    Est = x4[:, :, Wm - tm:]
+    Wst = x4[:, :, :tm]
+    Nst = x4[:, :t, :]
+    Sst = x4[:, H - t:, :]
+    if axis_name is not None:
+        Est = lax.all_gather(Est, axis_name, axis=0, tiled=True)
+        Wst = lax.all_gather(Wst, axis_name, axis=0, tiled=True)
+        Nst = lax.all_gather(Nst, axis_name, axis=0, tiled=True)
+        Sst = lax.all_gather(Sst, axis_name, axis=0, tiled=True)
+
+    sxw, syw = plan.sxw, plan.syw
+
+    if plan.regular:
+        def take(strips, dir_):
+            dy, dx = _DIRS[dir_]
+            g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
+            g = _static_shift(_static_shift(g, dy, 0), dx, 1)
+            full = g.reshape(strips.shape)
+            if axis_name is None:
+                return full
+            return lax.dynamic_slice_in_dim(
+                full, lax.axis_index(axis_name) * S_loc, S_loc, 0)
+        Ep, Wp, Np, Sp = Est, Wst, Nst, Sst
+    else:
+        def pad(strip):
+            z = jnp.zeros((1,) + strip.shape[1:], strip.dtype)
+            return jnp.concatenate([strip, z], axis=0)
+
+        Ep, Wp, Np, Sp = pad(Est), pad(Wst), pad(Nst), pad(Sst)
+        oh = plan.onehot.astype(x.dtype)
+
+        def take(strips_p, dir_):
+            return jnp.einsum("sq,qab->sab", oh[:, dir_, :], strips_p)
+
+    use_static = plan.sxw_s is not None and S_loc == plan.S
+    if use_static:
+        sxw_d = lambda d: np.asarray(plan.sxw_s[d])
+        syw_d = lambda d: np.asarray(plan.syw_s[d])
+
+        def selx(vals, k):      # x shifts act on the merged axis, scaled
+            return _shift_select_static(vals, np.asarray(k) * mu, 2, 0)
+
+        def sely(vals, k):
+            return _shift_select_static(vals, k, 1, 0)
+    else:
+        sxw_d = lambda d: sxw[:, d]
+        syw_d = lambda d: syw[:, d]
+
+        def selx(vals, k):
+            return _shift_select_mu(vals, k, 2, t, mu)
+
+        def sely(vals, k):
+            return _shift_select(vals, k, 1, t)
+
+    def lo(shared):
+        return t - shared
+
+    def hi(shared):
+        return shared - t
+
+    e = selx(take(Wp, 0), hi(sxw_d(0)))
+    w = selx(take(Ep, 1), lo(sxw_d(1)))
+    n = sely(take(Sp, 2), lo(syw_d(2)))
+    s = sely(take(Np, 3), hi(syw_d(3)))
+    ne = selx(sely(take(Sp, 4)[:, :, :tm], lo(syw_d(4))), hi(sxw_d(4)))
+    nw = selx(sely(take(Sp, 5)[:, :, Wm - tm:], lo(syw_d(5))), lo(sxw_d(5)))
+    se = selx(sely(take(Np, 6)[:, :, :tm], hi(syw_d(6))), hi(sxw_d(6)))
+    sw = selx(sely(take(Np, 7)[:, :, Wm - tm:], hi(syw_d(7))), lo(sxw_d(7)))
+
+    if _COMPOSE == "band":
+        n = (n.at[:, :, Wm - tm:].add(ne + e[:, :t, :])
+              .at[:, :, :tm].add(nw + w[:, :t, :]))
+        s = (s.at[:, :, Wm - tm:].add(se + e[:, H - t:, :])
+              .at[:, :, :tm].add(sw + w[:, H - t:, :]))
+        mid = jnp.concatenate([
+            x4[:, t:H - t, :tm] + w[:, t:H - t, :],
+            x4[:, t:H - t, tm:Wm - tm],
+            x4[:, t:H - t, Wm - tm:] + e[:, t:H - t, :]], axis=2)
+        x4 = jnp.concatenate([
+            x4[:, :t, :] + n, mid, x4[:, H - t:, :] + s], axis=1)
+    else:
+        e = e.at[:, :t, :].add(ne).at[:, H - t:, :].add(se)
+        w = w.at[:, :t, :].add(nw).at[:, H - t:, :].add(sw)
+        x4 = (x4
+              + jnp.pad(e, [(0, 0), (0, 0), (Wm - tm, 0)])
+              + jnp.pad(w, [(0, 0), (0, 0), (0, Wm - tm)])
+              + jnp.pad(n, [(0, 0), (0, H - t), (0, 0)])
+              + jnp.pad(s, [(0, 0), (H - t, 0), (0, 0)]))
+
+    out = x4.reshape(S_loc, H * W, mu)
+    if n_max > H * W:
+        out = jnp.concatenate([out, x[:, H * W:, :]], axis=1)
+    return out
+
+
+def _shift_select_mu(vals: jax.Array, k: jax.Array, axis: int, t: int,
+                     mu: int) -> jax.Array:
+    """Traced ``_shift_select`` on a mu-merged axis: shift k[s]*mu."""
+    variants = jnp.stack([_static_shift(vals, v * mu, axis)
+                          for v in range(-t, t + 1)])
+    sel = (k + t)[None, :] == jnp.arange(2 * t + 1)[:, None]
+    sel = sel.reshape(sel.shape + (1,) * (vals.ndim - 1))
+    return jnp.sum(jnp.where(sel, variants, 0), axis=0)
+
+
+def _grid_exchange_4d(plan: GridPlan, x: jax.Array,
+                      axis_name: Optional[str] = None) -> jax.Array:
+    """Round-1 rank-4 formulation (A/B: HPDDM_TPU_GRID_LAYOUT=4d)."""
     S_loc, n_max, mu = x.shape
     H, W, t = plan.H, plan.W, plan.t
     x4 = x[:, : H * W, :].reshape(S_loc, H, W, mu)
@@ -204,25 +358,37 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
             # neighbor "gather" as a one-hot matmul (no generic gather)
             return jnp.einsum("sq,qabm->sabm", oh[:, dir_, :], strips_p)
 
+    # realign selects: the shifts are decomposition constants, so when the
+    # shard covers the full plan they collapse to 2-3 *static* shifts with
+    # static masks (op count was the exchange floor — PERF.md); sharded
+    # slices keep the traced 2t+1-variant select
+    use_static = plan.sxw_s is not None and S_loc == plan.S
+    if use_static:
+        sxw_d = lambda d: np.asarray(plan.sxw_s[d])
+        syw_d = lambda d: np.asarray(plan.syw_s[d])
+        sel = lambda vals, k, axis: _shift_select_static(vals, k, axis, 0)
+    else:
+        sxw_d = lambda d: sxw[:, d]
+        syw_d = lambda d: syw[:, d]
+        sel = lambda vals, k, axis: _shift_select(vals, k, axis, t)
+
     def lo(shared):            # my strip rows/cols [0, t): shift by t-shared
         return t - shared
     def hi(shared):
         return shared - t
 
     # cardinal contributions
-    e = _shift_select(take(Wp, 0), hi(sxw[:, 0]), 2, t)
-    w = _shift_select(take(Ep, 1), lo(sxw[:, 1]), 2, t)
-    n = _shift_select(take(Sp, 2), lo(syw[:, 2]), 1, t)
-    s = _shift_select(take(Np, 3), hi(syw[:, 3]), 1, t)
+    e = sel(take(Wp, 0), hi(sxw_d(0)), 2)
+    w = sel(take(Ep, 1), lo(sxw_d(1)), 2)
+    n = sel(take(Sp, 2), lo(syw_d(2)), 1)
+    s = sel(take(Np, 3), hi(syw_d(3)), 1)
     # diagonal corner tiles (sliced out of the neighbor's strip tensors)
-    ne = _shift_select(_shift_select(take(Sp, 4)[:, :, :t, :],
-                                     lo(syw[:, 4]), 1, t), hi(sxw[:, 4]), 2, t)
-    nw = _shift_select(_shift_select(take(Sp, 5)[:, :, W - t:, :],
-                                     lo(syw[:, 5]), 1, t), lo(sxw[:, 5]), 2, t)
-    se = _shift_select(_shift_select(take(Np, 6)[:, :, :t, :],
-                                     hi(syw[:, 6]), 1, t), hi(sxw[:, 6]), 2, t)
-    sw = _shift_select(_shift_select(take(Np, 7)[:, :, W - t:, :],
-                                     hi(syw[:, 7]), 1, t), lo(sxw[:, 7]), 2, t)
+    ne = sel(sel(take(Sp, 4)[:, :, :t, :], lo(syw_d(4)), 1), hi(sxw_d(4)), 2)
+    nw = sel(sel(take(Sp, 5)[:, :, W - t:, :],
+                 lo(syw_d(5)), 1), lo(sxw_d(5)), 2)
+    se = sel(sel(take(Np, 6)[:, :, :t, :], hi(syw_d(6)), 1), hi(sxw_d(6)), 2)
+    sw = sel(sel(take(Np, 7)[:, :, W - t:, :],
+                 hi(syw_d(7)), 1), lo(sxw_d(7)), 2)
 
     if _COMPOSE == "band":
         # Row-band concat: corner tiles and the E/W strips' corner rows
