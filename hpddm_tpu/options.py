@@ -114,6 +114,12 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                               "spectral bounds (setup)"),
     "coarse_dtype": ("enum", None, ("same", "float32", "bfloat16"),
                      "Precision of the coarse operator (HPDDM_MIXED_PRECISION analogue)"),
+    "coarse_assembly": ("enum", "dense", ("dense", "bsr"),
+                        "Coarse operator E: dense replicated assembly and "
+                        "solve, or neighbor-block-sparse (the reference's "
+                        "sparsity pattern 's') with distributed block "
+                        "matvecs — O(S*neighbors) memory, scales to "
+                        "thousands of subdomains"),
 }
 
 # Options valid under a level_N_ prefix (coarse levels), cf. cheatsheet/option table.

@@ -48,6 +48,14 @@ def state_pspecs(state, axis: str = "sub"):
     plan = getattr(dec, "rowplan", None)
     replicated = ({id(leaf) for leaf in jax.tree_util.tree_leaves(plan)}
                   if plan is not None else set())
+    # replicated coarse-space leaves, by field name — shape heuristics are
+    # unsafe here (E2_inv is (S, S); N_c can equal S)
+    co = getattr(state, "coarse", None)
+    if co is not None:
+        for name in ("E", "E_inv", "E2_inv", "Z2"):
+            leaf = getattr(co, name, None)
+            replicated.update(
+                id(x) for x in jax.tree_util.tree_leaves(leaf))
     def spec(x):
         if id(x) in replicated:
             return P(*([None] * getattr(x, "ndim", 0)))

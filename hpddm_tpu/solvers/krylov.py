@@ -101,7 +101,7 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         from hpddm_tpu.precond import schwarz as _sz
         if isinstance(A, _sz.SchwarzState) and A.coarse is not None \
                 and variant != "flexible" \
-                and (A.coarse.mode == "iterative"
+                and (A.coarse.mode in ("iterative", "bsr")
                      or A.coarse.E_inv.dtype != b.dtype):
             # inexact coarse solves (nested Krylov) or reduced-precision
             # coarse casts make M^-1 effectively vary between applications;
