@@ -25,12 +25,10 @@ def _setup(S=4, Nx=40, Ny=40, **kw):
     return gen, sch, jnp.asarray(f)
 
 
-def test_bsr_blocks_match_dense_E():
-    """E_diag / E_nbr must equal the corresponding blocks of the dense
-    Galerkin matrix E = Z^T A Z."""
-    gen, sch, f = _setup(schwarz_coarse_correction="deflated", geneo_nu=4)
+def _assert_blocks_match(sch, atol_scale=1e-10):
+    """Build dense-iterative and bsr coarse states; compare block-wise."""
     sch.opt["level_2_krylov_method"] = "cg"   # dense-iterative keeps E
-    sch.solve_gevp(gen.neumann)
+    sch.opt["coarse_assembly"] = "dense"
     state_d = sch.build()
     E = np.asarray(state_d.coarse.E)
 
@@ -47,7 +45,7 @@ def test_bsr_blocks_match_dense_E():
     scale = np.abs(E).max()
     for s in range(S):
         np.testing.assert_allclose(Eb_diag[s], blocks[s, :, s, :],
-                                   atol=1e-10 * scale)
+                                   atol=atol_scale * scale)
         seen = set()
         for j in range(oh.shape[1]):
             q = int(np.argmax(oh[s, j]))
@@ -55,11 +53,31 @@ def test_bsr_blocks_match_dense_E():
                 continue
             seen.add(q)
             np.testing.assert_allclose(Eb_nbr[s, j], blocks[s, :, q, :],
-                                       atol=1e-10 * scale)
+                                       atol=atol_scale * scale)
         # blocks for non-neighbors must vanish in the dense E
         for q in range(S):
             if q != s and q not in seen:
-                assert np.abs(blocks[s, :, q, :]).max() < 1e-10 * scale
+                assert np.abs(blocks[s, :, q, :]).max() < atol_scale * scale
+
+
+def test_bsr_blocks_match_dense_E():
+    """E_diag / E_nbr must equal the corresponding blocks of the dense
+    Galerkin matrix E = Z^T A Z."""
+    gen, sch, f = _setup(schwarz_coarse_correction="deflated", geneo_nu=4)
+    sch.solve_gevp(gen.neumann)
+    _assert_blocks_match(sch)
+
+
+def test_bsr_blocks_complex_helmholtz():
+    """Complex scalars: the conjugations in the slab assembly must match
+    the dense Galerkin product (E is complex-symmetric, not Hermitian)."""
+    from hpddm_tpu.models import helmholtz
+    S = 4
+    gen = helmholtz.generate(S, Nx=24, Ny=24, k=4.0, eps=0.3)
+    opt = Options(schwarz_coarse_correction="deflated")
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    _assert_blocks_match(sch)
 
 
 @pytest.mark.parametrize("correction", ["deflated", "additive", "balanced"])

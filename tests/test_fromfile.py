@@ -72,3 +72,27 @@ def test_partitioner_balance():
     owner = fromfile.partition_kway(A.scipy(), 4)
     counts = np.bincount(owner, minlength=4)
     assert counts.min() >= 40  # roughly balanced
+
+
+def test_mini_bsr_coarse(mini):
+    """Block-sparse coarse (-hpddm_coarse_assembly bsr) on the algebraic
+    (irregular) decomposition: the slot/partner machinery must feed the
+    neighbor-block assembly just like the grid decompositions."""
+    S = 4
+    gen = fromfile.decompose(mini, S, overlap=2)
+    opt = Options(tol=1e-6, max_it=200,
+                  schwarz_coarse_correction="deflated",
+                  coarse_assembly="bsr")
+    opt["level_2_tol"] = 1e-8
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+    state = sch.build()
+    assert state.coarse.mode == "bsr"
+    res = solve(state, f, opt=sch.opt)
+    nb, nr = compute_residual(state, res.x, f)
+    assert float(np.asarray(nr)[0] / np.asarray(nb)[0]) < 1e-2
+    assert int(res.iterations) < 200
