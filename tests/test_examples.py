@@ -49,6 +49,9 @@ def test_driver_gcrodr_sequence():
     ["examples/elasticity.py", "-N", "4", "-Nx", "16",
      "-hpddm_schwarz_coarse_correction", "deflated",
      "-hpddm_geneo_nu", "6"],
+    ["examples/diffusion3d.py", "-N", "8", "-Nx", "16", "-contrast", "1e3",
+     "-hpddm_schwarz_coarse_correction", "deflated",
+     "-hpddm_geneo_nu", "6"],
 ])
 def test_model_drivers(args):
     r = _run(args)
