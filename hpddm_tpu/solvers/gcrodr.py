@@ -91,14 +91,19 @@ def _harmonic_ritz_first(H_np: np.ndarray, p: int, k: int,
     return np.ascontiguousarray(q)
 
 
-def _harmonic_ritz_general(G: np.ndarray, QhW: np.ndarray, k: int,
+def _harmonic_ritz_general(G: np.ndarray, QhW: Optional[np.ndarray], k: int,
                            target: str) -> np.ndarray:
-    """Parks et al. strategy A: G^H G p = theta G^H (Q^H W) p.
+    """Parks et al. pencil: G^H G p = theta G^H (Q^H W) p.
 
-    G: (d+1, d), QhW: (d+1, d) with d = k + p. Returns real (d, k)."""
+    G: (d+1, d), QhW: (d+1, d) with d = k + p; QhW=None is the reference's
+    -hpddm_recycle_strategy B (HPDDM_GCRODR.hpp:322-382): the cross
+    products Q^H W are replaced by the orthogonality assumption
+    [C, V]^H [U, V] = I (no global reduction), so the right-hand matrix of
+    the pencil collapses to G^H truncated to its first d rows.
+    Returns real (d, k)."""
     import scipy.linalg as sla
     Amat = G.conj().T @ G
-    Bmat = G.conj().T @ QhW
+    Bmat = G[:-1, :].conj().T if QhW is None else G.conj().T @ QhW
     w, vr = sla.eig(Amat, Bmat)
     finite = np.isfinite(w)
     w = np.where(finite, w, np.inf)
@@ -116,7 +121,8 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                   restart: int = 40, max_it: int = 100,
                   recycle: int = 0, target: str = "SM",
                   recycled: Optional[RecycledSpace] = None,
-                  same_system: bool = False) -> "GCRODRResult":
+                  same_system: bool = False,
+                  strategy: str = "A") -> "GCRODRResult":
     """True block GCRO-DR (HPDDM_GCRODR.hpp:446-907): one fused block
     Krylov space over all RHS, deflated restarting via block harmonic Ritz.
 
@@ -260,12 +266,15 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                 G[:kc, :kc] = np.eye(kc)
                 G[:kc, kc:] = Bflat
                 G[kc:, kc:] = Hflat
-                CU = _cross(op, C, U)                 # (kc, kc)
-                VU = _cross(op, Vs, U)                # ((p+1)mu, kc)
-                QhW = np.zeros((d + mu, d))
-                QhW[:kc, :kc] = CU
-                QhW[kc:, :kc] = VU
-                QhW[kc: kc + pd, kc:] = np.eye(pd)
+                if strategy == "B":
+                    QhW = None if mu == 1 else np.eye(d + mu, d)
+                else:
+                    CU = _cross(op, C, U)             # (kc, kc)
+                    VU = _cross(op, Vs, U)            # ((p+1)mu, kc)
+                    QhW = np.zeros((d + mu, d))
+                    QhW[:kc, :kc] = CU
+                    QhW[kc:, :kc] = VU
+                    QhW[kc: kc + pd, kc:] = np.eye(pd)
                 P = _harmonic_ritz_general(G, QhW, min(k, d), target)
                 U_new = (_lincomb_mat(U, jnp.asarray(P[:kc], dtype=dtype))
                          + _lincomb_mat(Vp, jnp.asarray(P[kc:], dtype=dtype)))
@@ -300,7 +309,7 @@ def bgcrodr(op: LinearOperator, b: jax.Array,
             restart: int = 40, max_it: int = 100, variant: str = "right",
             recycle: int = 0, target: str = "SM",
             recycled: Optional[RecycledSpace] = None,
-            same_system: bool = False) -> "GCRODRResult":
+            same_system: bool = False, strategy: str = "A") -> "GCRODRResult":
     """Multi-RHS GCRO-DR: the RHS share one recycled space, refined as the
     columns are solved in sequence (pseudo-block; the reference's true
     block variant fuses them into one block Krylov space —
@@ -308,14 +317,14 @@ def bgcrodr(op: LinearOperator, b: jax.Array,
     S, n, mu = b.shape
     if mu == 1:
         return gcrodr(op, b, x0, tol, restart, max_it, variant, recycle,
-                      target, False, recycled, same_system)
+                      target, False, recycled, same_system, strategy)
     xs, its, rels, convs = [], [], [], []
     rec = recycled
     for j in range(mu):
         bj = b[:, :, j: j + 1]
         xj = x0[:, :, j: j + 1] if x0 is not None else None
         res = gcrodr(op, bj, xj, tol, restart, max_it, variant, recycle,
-                     target, False, rec, same_system or (j > 0))
+                     target, False, rec, same_system or (j > 0), strategy)
         rec = res.recycled if res.recycled is not None else rec
         xs.append(res.x)
         its.append(int(res.iterations))
@@ -333,7 +342,7 @@ def gcrodr(op: LinearOperator, b: jax.Array,
            restart: int = 40, max_it: int = 100, variant: str = "right",
            recycle: int = 0, target: str = "SM", block: bool = False,
            recycled: Optional[RecycledSpace] = None,
-           same_system: bool = False) -> GCRODRResult:
+           same_system: bool = False, strategy: str = "A") -> GCRODRResult:
     """Solve with GCRO-DR. mu must be 1 (pseudo-block recycling of several
     RHS shares one space via the block variant, not implemented per-RHS)."""
     del block  # BGCRODR shares this code path for now via mu-fused blocks
@@ -431,13 +440,17 @@ def gcrodr(op: LinearOperator, b: jax.Array,
                 G[:k, :k] = np.eye(k)
                 G[:k, k:] = B_np
                 G[k:, k:] = H_np
-                # Q^H W cross products (the reference's allreduced "prod")
-                CU = _cross(op, C, U)                         # (k, k)
-                VU = _cross_stack(op, V[: p + 1], U)          # (p+1, k)
-                QhW = np.zeros((d + 1, d), dtype=H_np.dtype)
-                QhW[:k, :k] = CU
-                QhW[k: d + 1, :k] = VU
-                QhW[k: d, k:] = np.eye(p)
+                if strategy == "B":
+                    # strategy B: no Q^H W cross products / global reduce
+                    QhW = None
+                else:
+                    # Q^H W cross products (the reference's allreduced "prod")
+                    CU = _cross(op, C, U)                     # (k, k)
+                    VU = _cross_stack(op, V[: p + 1], U)      # (p+1, k)
+                    QhW = np.zeros((d + 1, d), dtype=H_np.dtype)
+                    QhW[:k, :k] = CU
+                    QhW[k: d + 1, :k] = VU
+                    QhW[k: d, k:] = np.eye(p)
                 P = _harmonic_ritz_general(G, QhW, k, target)
                 # W P = U P_u + V_p P_v
                 P_u = jnp.asarray(P[:k], dtype=dtype)

@@ -156,13 +156,15 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                                  restart=int(opt.val("gmres_restart")),
                                  max_it=max_it,
                                  recycle=int(opt.val("recycle", 0)),
-                                 target=opt.val("recycle_target"))
+                                 target=opt.val("recycle_target"),
+                                 strategy=opt.val("recycle_strategy"))
         from hpddm_tpu.solvers.gcrodr import bgcrodr
         return bgcrodr(op, b, x0, tol=tol,
                        restart=int(opt.val("gmres_restart")),
                        max_it=max_it, variant=variant,
                        recycle=int(opt.val("recycle", 0)),
-                       target=opt.val("recycle_target"))
+                       target=opt.val("recycle_target"),
+                       strategy=opt.val("recycle_strategy"))
     if method == "none":
         # x = M^-1 b, one application, it = 1
         # (HPDDM_KRYLOV_METHOD_NONE, HPDDM_iterative.hpp:1056-1070)
