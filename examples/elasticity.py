@@ -26,19 +26,26 @@ def main(argv=None):
     app = [("N=<4>", "Number of subdomains."),
            ("Nx=<24>", "Nodes per direction."),
            ("contrast=<1e3>", "Young's modulus contrast."),
-           ("mu=<1>", "Number of right-hand sides.")]
+           ("mu=<1>", "Number of right-hand sides."),
+           ("dim=<2>", "Spatial dimension (2 = plane stress Q1, 3 = H8).")]
     opt = Options.parse(argv, display=True, app_options=app)
     S = int(opt.app()["N"])
     Nx = int(opt.app()["Nx"])
     contrast = float(opt.app()["contrast"])
     mu = int(opt.app()["mu"])
+    dim = int(opt.app()["dim"])
     if not opt.set("max_it"):
         opt["max_it"] = 400
     if not opt.set("gmres_restart"):
         opt["gmres_restart"] = 200
 
-    gen, neumann, rbm = elasticity2d.generate(S, Nx=Nx, Ny=Nx,
-                                              contrast=contrast, overlap=2)
+    if dim == 3:
+        from hpddm_tpu.models import elasticity3d
+        gen, neumann, rbm = elasticity3d.generate(
+            S, Nx=Nx, Ny=Nx, Nz=Nx, contrast=contrast, overlap=2)
+    else:
+        gen, neumann, rbm = elasticity2d.generate(
+            S, Nx=Nx, Ny=Nx, contrast=contrast, overlap=2)
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
     rng = np.random.default_rng(0)
     f = np.zeros((S, sch.n_max, mu))

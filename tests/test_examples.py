@@ -52,6 +52,9 @@ def test_driver_gcrodr_sequence():
     ["examples/diffusion3d.py", "-N", "8", "-Nx", "16", "-contrast", "1e3",
      "-hpddm_schwarz_coarse_correction", "deflated",
      "-hpddm_geneo_nu", "6"],
+    ["examples/elasticity.py", "-N", "4", "-Nx", "8", "-dim", "3",
+     "-hpddm_schwarz_coarse_correction", "deflated",
+     "-hpddm_geneo_nu", "8"],
 ])
 def test_model_drivers(args):
     r = _run(args)
