@@ -1,0 +1,154 @@
+"""Batched block-tridiagonal LU for grid subdomains.
+
+The reference's local solves are sparse direct factorizations (MUMPS,
+PARDISO, ... — SURVEY §2.1 "MUMPS/PARDISO/PaStiX/SuiteSparse
+interfaces"). The TPU stand-ins so far are batched *dense* factors
+(O(n^2) memory, caps local sizes at ~10k dofs), the constant-coefficient
+DST fast solver (exact only for separable operators), and inexact
+Chebyshev. This module adds the missing *exact + scalable* point for
+structured subdomains: the 5-point (or any width-1-coupled) local matrix
+in row-major grid ordering is block-tridiagonal with *diagonal* coupling
+blocks, so block LU needs only the wy dense Schur-complement row factors
+
+    D_1 = A_11,   D_j = A_jj - diag(cl_j) D_{j-1}^{-1} diag(cu_j)
+
+(O(n * wx) memory instead of O(n^2)) and the solve is two lax.scan
+sweeps of batched (wx, wx) x (wx, mu) matmuls — MXU work, exact for
+*heterogeneous* coefficients where the DST solver is only spectrally
+close. Factorization runs on the host in float64 (TPU has no f64; see
+CLAUDE.md) and is rounded to the device dtype.
+
+Memory: (S, wy, wx, wx) inverse row factors — 66k-dof subdomains
+(256 x 256) at S=16 cost ~1 GB in f32 where dense inverses would need
+280 GB. Host setup is S*wy batched (wx, wx) inversions; practical up to
+wx ~ 512.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedSolver:
+    """Per-subdomain block-tridiagonal LU in padded grid layout."""
+    Dinv: jax.Array       # (wy_max, S, wx_max, wx_max) inverse row factors
+    cl: jax.Array         # (wy_max, S, wx_max) lower coupling diag(A_{j,j-1})
+    cu: jax.Array         # (wy_max, S, wx_max) upper coupling diag(A_{j-1,j})
+    idx_fwd: jax.Array    # (S, wy_max*wx_max) local flat row per grid slot
+    msk_fwd: jax.Array    # (S, wy_max*wx_max, 1) 0/1
+    idx_inv: jax.Array    # (S, n_max) grid slot per local flat row
+    msk_inv: jax.Array    # (S, n_max, 1) 0/1
+    wy_max: int = dataclasses.field(metadata=dict(static=True))
+    wx_max: int = dataclasses.field(metadata=dict(static=True))
+    n_max: int = dataclasses.field(metadata=dict(static=True))
+    S: int = dataclasses.field(metadata=dict(static=True))
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        """b: (S, n_max, mu) -> A^-1 b (exact block-tridiagonal solve)."""
+        S, _, mu = b.shape
+        g = jnp.take_along_axis(b, self.idx_fwd[:, :, None], axis=1)
+        g = (g * self.msk_fwd).reshape(S, self.wy_max, self.wx_max, mu)
+        g = jnp.moveaxis(g, 1, 0)                   # (wy, S, wx, mu)
+
+        # forward sweep: u_j = D_j^-1 (b_j - cl_j * u_{j-1})
+        def fwd(u_prev, inp):
+            Dinv_j, cl_j, b_j = inp
+            z = b_j - cl_j[:, :, None] * u_prev
+            u = jnp.einsum("sij,sjm->sim", Dinv_j, z)
+            return u, u
+
+        u0 = jnp.zeros((S, self.wx_max, mu), b.dtype)
+        _, U = lax.scan(fwd, u0, (self.Dinv, self.cl, g))
+
+        # backward sweep: x_j = u_j - D_j^-1 (cu_{j+1} * x_{j+1})
+        # iterate j = wy-1 .. 0 with cu shifted by one row
+        cu_next = jnp.concatenate(
+            [self.cu[1:], jnp.zeros((1,) + self.cu.shape[1:], self.cu.dtype)],
+            axis=0)
+
+        def bwd(x_next, inp):
+            Dinv_j, cu_j1, u_j = inp
+            x = u_j - jnp.einsum("sij,sjm->sim", Dinv_j,
+                                 cu_j1[:, :, None] * x_next)
+            return x, x
+
+        _, X = lax.scan(bwd, u0, (self.Dinv, cu_next, U), reverse=True)
+
+        out = jnp.moveaxis(X, 0, 1).reshape(S, self.wy_max * self.wx_max, mu)
+        out = jnp.take_along_axis(out, self.idx_inv[:, :, None], axis=1)
+        return out * self.msk_inv
+
+
+def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int]],
+                        n_max: int, dtype=jnp.float32) -> BandedSolver:
+    """Factor local matrices given in row-major grid ordering.
+
+    mats: MatrixCSR (or scipy) local matrices, local index = iy*wx + ix;
+    boxes: (i0, i1, j0, j1) per subdomain. Raises if a matrix couples
+    grid rows more than one apart (not block-tridiagonal)."""
+    S = len(boxes)
+    wy_max = max(j1 - j0 for (_, _, j0, j1) in boxes)
+    wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
+    Dinv = np.zeros((wy_max, S, wx_max, wx_max))
+    for j in range(wy_max):
+        Dinv[j, :, np.arange(wx_max), np.arange(wx_max)] = 1.0
+    cl = np.zeros((wy_max, S, wx_max))
+    cu = np.zeros((wy_max, S, wx_max))
+    idx_fwd = np.zeros((S, wy_max * wx_max), dtype=np.int32)
+    msk_fwd = np.zeros((S, wy_max * wx_max, 1))
+    idx_inv = np.zeros((S, n_max), dtype=np.int32)
+    msk_inv = np.zeros((S, n_max, 1))
+
+    for s, (i0, i1, j0, j1) in enumerate(boxes):
+        wy, wx = j1 - j0, i1 - i0
+        K = mats[s].scipy(expand=True) if hasattr(mats[s], "scipy") \
+            else mats[s].tocsr()
+        n = wy * wx
+        if K.shape[0] < n:
+            raise ValueError(f"subdomain {s}: matrix smaller than its box")
+        coo = K.tocoo()
+        rj, cj = coo.row // wx, coo.col // wx
+        if np.abs(rj - cj).max(initial=0) > 1:
+            raise ValueError("matrix is not block-tridiagonal in grid rows")
+        same = rj != cj
+        if np.any(same & (coo.row % wx != coo.col % wx) & (coo.data != 0)):
+            raise ValueError("inter-row coupling is not diagonal")
+        # extract blocks in f64
+        Kd = K.astype(np.float64)
+        prev = None
+        for j in range(wy):
+            sl = slice(j * wx, (j + 1) * wx)
+            Ajj = np.asarray(Kd[sl, sl].todense())
+            if j > 0:
+                slm = slice((j - 1) * wx, j * wx)
+                clj = np.asarray(Kd[sl, slm].todense()).diagonal().copy()
+                cuj = np.asarray(Kd[slm, sl].todense()).diagonal().copy()
+                cl[j, s, :wx] = clj
+                cu[j, s, :wx] = cuj
+                Ajj = Ajj - (clj[:, None] * prev * cuj[None, :])
+            prev = np.linalg.inv(Ajj)
+            Dinv[j, s, :wx, :wx] = prev
+        iy, ix = np.meshgrid(np.arange(wy), np.arange(wx), indexing="ij")
+        slot = iy * wx_max + ix
+        flat = iy * wx + ix
+        idx_fwd[s, slot.ravel()] = flat.ravel()
+        msk_fwd[s, slot.ravel(), 0] = 1.0
+        idx_inv[s, flat.ravel()] = slot.ravel()
+        msk_inv[s, flat.ravel(), 0] = 1.0
+
+    return BandedSolver(
+        Dinv=jnp.asarray(Dinv, dtype=dtype),
+        cl=jnp.asarray(cl, dtype=dtype), cu=jnp.asarray(cu, dtype=dtype),
+        idx_fwd=jnp.asarray(idx_fwd),
+        msk_fwd=jnp.asarray(msk_fwd, dtype=dtype),
+        idx_inv=jnp.asarray(idx_inv),
+        msk_inv=jnp.asarray(msk_inv, dtype=dtype),
+        wy_max=wy_max, wx_max=wx_max, n_max=n_max, S=S)

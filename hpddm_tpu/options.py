@@ -101,12 +101,15 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                     "(analogue of -hpddm_arpack_ncv)"),
     # Local solver selection (TPU-specific: replaces the SUBDOMAIN compile-time plug-in)
     "local_solver": ("enum", "inv",
-                     ("inv", "lu", "chol", "qr", "fft", "cheby", "dst_cheby"),
+                     ("inv", "lu", "chol", "qr", "fft", "cheby", "dst_cheby",
+                      "banded"),
                      "Batched local solve strategy on TPU (fft = DST fast "
                      "Poisson for grid subdomains, O(n log n), no factors; "
                      "cheby/dst_cheby = inexact k-step Chebyshev local "
                      "solves, Jacobi- or DST-preconditioned, for large "
-                     "heterogeneous subdomains)"),
+                     "heterogeneous subdomains; banded = exact "
+                     "block-tridiagonal LU for grid subdomains, O(n*wx) "
+                     "factor memory)"),
     "local_cheby_steps": ("integer", 16, None,
                           "Chebyshev steps per inexact local solve"),
     "local_cheby_power_its": ("integer", 30, None,

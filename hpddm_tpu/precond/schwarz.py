@@ -453,7 +453,8 @@ class Schwarz:
         if method == "auto":
             method = "lanczos" if (self.n_max > 6000 or
                                    opt.val("local_solver", prefix=pfx)
-                                   in ("fft", "dst_cheby")) else "dense"
+                                   in ("fft", "dst_cheby", "banded")) \
+                else "dense"
         if method == "lanczos":
             lam, V = self._solve_gevp_lanczos(neumann, nu_max_req)
         else:
@@ -516,6 +517,11 @@ class Schwarz:
             boxes, Nx, Ny = self._grid_geometry
             prec = build_fft_solver(boxes, Nx, Ny, self.n_max,
                                     dtype=dec.d.dtype)
+        elif kind == "banded":
+            from hpddm_tpu.ops.banded_solve import build_banded_solver
+            boxes, _, _ = self._grid_geometry
+            prec = build_banded_solver(self.mats, boxes, self.n_max,
+                                       dtype=dec.d.dtype)
         elif kind == "cheby":
             from hpddm_tpu.ops.cheby_solve import JacobiSolver, _extract_dinv
             prec = JacobiSolver(dinv=_extract_dinv(self.A, self.n_max))
@@ -592,6 +598,34 @@ class Schwarz:
             boxes, Nx, Ny = geo
             dt = dtype if dtype is not None else self.A.values.dtype
             solver = build_fft_solver(boxes, Nx, Ny, self.n_max, dtype=dt)
+            coarse = None
+            correction = opt.val("schwarz_coarse_correction", prefix=pfx)
+            if correction is not None:
+                coarse = self._build_coarse(correction, jnp.dtype(dt))
+            state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
+                                 coarse=coarse, variant=variant)
+            self._state = state
+            return state
+        if local_kind == "banded":
+            # exact block-tridiagonal LU for grid subdomains
+            # (ops/banded_solve.py): O(n*wx) factor memory — exact local
+            # solves far beyond the dense O(n^2) cap, heterogeneous-exact
+            # where the DST solver is only spectrally close
+            from hpddm_tpu.ops.banded_solve import build_banded_solver
+            geo = getattr(self, "_grid_geometry", None)
+            if geo is None:
+                raise ValueError("local_solver=banded requires "
+                                 "set_grid_geometry(boxes, Nx, Ny)")
+            if self.dec.renumbered:
+                raise ValueError("local_solver=banded requires the "
+                                 "grid-ordered (non-renumbered) layout")
+            boxes, _, _ = geo
+            dt = dtype if dtype is not None else self.A.values.dtype
+            src = self.mats
+            if self.optimized_mats is not None and \
+                    variant in ("oras", "soras", "osm"):
+                src = self.optimized_mats
+            solver = build_banded_solver(src, boxes, self.n_max, dtype=dt)
             coarse = None
             correction = opt.val("schwarz_coarse_correction", prefix=pfx)
             if correction is not None:
