@@ -39,6 +39,12 @@ class NonOverlapGenerated:
     A_global: sp.csr_matrix          # assembled global matrix (validation)
     f_global: np.ndarray
     interface_mask: List[np.ndarray]  # bool per local dof
+    # banded local mode (-hpddm_substructuring_local banded): row-major
+    # local grid shapes and analytic kernels (constants on floating
+    # subdomains, None on those pinned by the global Dirichlet boundary)
+    grid_shapes: List[tuple] = None
+    kernels: List = None
+    slot_maps: List = None           # local row -> iy*wx+ix box slot
 
 
 def generate(size_world: int, Nx: int = 30, Ny: int = 30,
@@ -149,8 +155,29 @@ def generate(size_world: int, Nx: int = 30, Ny: int = 30,
         f.append(fs.astype(dtype))
         interface_mask.append(count[gids[s]] > 1)
 
+    # banded local mode metadata: local grids are rectangles in row-major
+    # order (gids ascending = row-major over the bounding box); kernels are
+    # the constants exactly when K_s annihilates them (floating subdomains)
+    grid_shapes = []
+    kernels = []
+    slot_maps = []
+    for s in range(size_world):
+        iy, ix = gids[s] // Nx, gids[s] % Nx
+        wy = int(iy.max() - iy.min() + 1)
+        wx = int(ix.max() - ix.min() + 1)
+        grid_shapes.append((wy, wx))
+        slot_maps.append((iy - iy.min()) * wx + (ix - ix.min()))
+        K = mats[s].scipy(expand=True)
+        ones = np.ones(n_loc[s])
+        if np.abs(K @ ones).max() <= 1e-10 * np.abs(K.diagonal()).max():
+            kernels.append(ones[:, None] / np.sqrt(n_loc[s]))
+        else:
+            kernels.append(None)
+
     return NonOverlapGenerated(mats=mats, neighbors=neighbors,
                                mappings=mappings, f=f, n_loc=n_loc,
                                gids=gids, A_global=A_global,
                                f_global=f_global,
-                               interface_mask=interface_mask)
+                               interface_mask=interface_mask,
+                               grid_shapes=grid_shapes, kernels=kernels,
+                               slot_maps=slot_maps)

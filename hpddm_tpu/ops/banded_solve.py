@@ -88,12 +88,18 @@ class BandedSolver:
 
 
 def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int]],
-                        n_max: int, dtype=jnp.float32) -> BandedSolver:
+                        n_max: int, dtype=jnp.float32,
+                        slot_maps: Optional[Sequence] = None) -> BandedSolver:
     """Factor local matrices given in row-major grid ordering.
 
     mats: MatrixCSR (or scipy) local matrices, local index = iy*wx + ix;
     boxes: (i0, i1, j0, j1) per subdomain. Raises if a matrix couples
-    grid rows more than one apart (not block-tridiagonal)."""
+    grid rows more than one apart (not block-tridiagonal).
+
+    slot_maps (optional): per-subdomain int array mapping local row ->
+    grid slot iy*wx + ix, for node sets that do not fill their bounding
+    box (e.g. a missing corner): the matrix is embedded into the full box
+    with identity rows on the holes — still block-tridiagonal."""
     S = len(boxes)
     wy_max = max(j1 - j0 for (_, _, j0, j1) in boxes)
     wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
@@ -107,11 +113,28 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     idx_inv = np.zeros((S, n_max), dtype=np.int32)
     msk_inv = np.zeros((S, n_max, 1))
 
+    import scipy.sparse as sp
     for s, (i0, i1, j0, j1) in enumerate(boxes):
         wy, wx = j1 - j0, i1 - i0
         K = mats[s].scipy(expand=True) if hasattr(mats[s], "scipy") \
             else mats[s].tocsr()
         n = wy * wx
+        slots = None if slot_maps is None else np.asarray(slot_maps[s],
+                                                          dtype=np.int64)
+        if slots is not None and slots.shape[0] == n and \
+                np.array_equal(slots, np.arange(n)):
+            slots = None                      # identity map: no embedding
+        if slots is not None:
+            # embed into the full box: identity on hole slots
+            coo = K.tocoo()
+            hole = np.ones(n, dtype=bool)
+            hole[slots] = False
+            hi = np.nonzero(hole)[0]
+            K = sp.coo_matrix(
+                (np.concatenate([coo.data, np.ones(len(hi))]),
+                 (np.concatenate([slots[coo.row], hi]),
+                  np.concatenate([slots[coo.col], hi]))),
+                shape=(n, n)).tocsr()
         if K.shape[0] < n:
             raise ValueError(f"subdomain {s}: matrix smaller than its box")
         coo = K.tocoo()
@@ -136,13 +159,12 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
                 Ajj = Ajj - (clj[:, None] * prev * cuj[None, :])
             prev = np.linalg.inv(Ajj)
             Dinv[j, s, :wx, :wx] = prev
-        iy, ix = np.meshgrid(np.arange(wy), np.arange(wx), indexing="ij")
-        slot = iy * wx_max + ix
-        flat = iy * wx + ix
-        idx_fwd[s, slot.ravel()] = flat.ravel()
-        msk_fwd[s, slot.ravel(), 0] = 1.0
-        idx_inv[s, flat.ravel()] = slot.ravel()
-        msk_inv[s, flat.ravel(), 0] = 1.0
+        eff = np.arange(n) if slots is None else slots
+        canvas = (eff // wx) * wx_max + (eff % wx)
+        idx_fwd[s, canvas] = np.arange(len(eff))
+        msk_fwd[s, canvas, 0] = 1.0
+        idx_inv[s, : len(eff)] = canvas
+        msk_inv[s, : len(eff), 0] = 1.0
 
     return BandedSolver(
         Dinv=jnp.asarray(Dinv, dtype=dtype),

@@ -86,6 +86,21 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                                      "Chebyshev degree of the matrix-free "
                                      "substructuring coarse solves (default: "
                                      "from the estimated condition number)"),
+    "substructuring_local": ("enum", "dense", ("dense", "banded"),
+                             "FETI/BDD local solves: dense = batched "
+                             "eigh pseudo-inverses (O(n^2) memory); "
+                             "banded = matrix-free block-tridiagonal LU "
+                             "for grid subdomains (K^+ = projected "
+                             "regularized solve + refinement, implicit "
+                             "Schur applies, Chebyshev S^+; O(n*wx) "
+                             "memory, needs analytic kernels)"),
+    "substructuring_refine": ("integer", 2, None,
+                              "Residual-refinement passes of the banded "
+                              "K^+ applies"),
+    "substructuring_local_degree": ("integer", None, None,
+                                    "Chebyshev degree of the banded-mode "
+                                    "S_b^+ (default: from the estimated "
+                                    "condition number)"),
     # GenEO
     "eigensolver_tol": ("numeric", 1.0e-6, None, "Tolerance of the local eigensolver"),
     "geneo_nu": ("integer", 20, None,

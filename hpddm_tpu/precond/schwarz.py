@@ -509,19 +509,18 @@ class Schwarz:
             return mask[:, :, None] * spmm(self.A, mask[:, :, None] * x)
 
         # inner preconditioner: the configured local solver on the
-        # *assembled* matrix (spectrally close to the Neumann matrix)
+        # *assembled* matrix (spectrally close to the Neumann matrix).
+        # banded skips this entirely: it factors the Neumann matrix itself
         opt = self.opt
         kind = opt.val("local_solver", prefix=getattr(self, "prefix", ""))
-        if kind in ("fft", "dst_cheby"):
+        prec = None
+        if kind == "banded":
+            pass
+        elif kind in ("fft", "dst_cheby"):
             from hpddm_tpu.ops.fft_solve import build_fft_solver
             boxes, Nx, Ny = self._grid_geometry
             prec = build_fft_solver(boxes, Nx, Ny, self.n_max,
                                     dtype=dec.d.dtype)
-        elif kind == "banded":
-            from hpddm_tpu.ops.banded_solve import build_banded_solver
-            boxes, _, _ = self._grid_geometry
-            prec = build_banded_solver(self.mats, boxes, self.n_max,
-                                       dtype=dec.d.dtype)
         elif kind == "cheby":
             from hpddm_tpu.ops.cheby_solve import JacobiSolver, _extract_dinv
             prec = JacobiSolver(dinv=_extract_dinv(self.A, self.n_max))
@@ -535,6 +534,41 @@ class Schwarz:
 
         def apply_Aneu(x):
             return spmm(A_neu_p, x) + eps_reg * x
+
+        if kind == "banded":
+            # exact shift-invert: banded factor of the regularized Neumann
+            # matrix itself — one solve (+1 refinement) replaces the whole
+            # inner CG, which would otherwise pay the sequential scan of
+            # the banded sweep 25x per Lanczos step
+            import scipy.sparse as sp
+            from hpddm_tpu.ops.banded_solve import build_banded_solver
+            boxes, _, _ = self._grid_geometry
+
+            class _W:
+                def __init__(self, A):
+                    self._A = A
+
+                def scipy(self, expand=True):
+                    return self._A
+
+            regs = [_W(sp.csr_matrix(
+                m.scipy(expand=True).astype(np.float64)
+                + eps_reg * sp.identity(m.n)))
+                for m in self._permuted(neumann)]
+            lboxes = [(0, i1 - i0, 0, j1 - j0) for (i0, i1, j0, j1) in boxes]
+            Knb = build_banded_solver(regs, lboxes, self.n_max,
+                                      dtype=dec.d.dtype)
+
+            def apply_Ainv(r):
+                x = Knb.solve(r)
+                return x + Knb.solve(r - apply_Aneu(x))
+
+            ncv = opt.val("lanczos_ncv")
+            lam, V = solve_gevp_lanczos(
+                jax.jit(apply_Ainv), jax.jit(apply_B), dec.S, self.n_max,
+                nu_max_req, ncv=int(ncv) if ncv else None,
+                dtype=dec.d.dtype)
+            return lam, V
 
         inner_its = 25
 

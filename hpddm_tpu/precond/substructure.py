@@ -111,6 +111,21 @@ class SubstructureState:
     gtg_hi: Optional[jax.Array] = None
     wsw_lo: Optional[jax.Array] = None     # spectral bounds of W^T S W
     wsw_hi: Optional[jax.Array] = None
+    # matrix-free *local* solves: -hpddm_substructuring_local banded.
+    # K^+ = P (K + eps I)^-1 P with residual refinement (exact to roundoff
+    # — the eps error is damped by eps/lambda_min per refinement pass and
+    # the kernel component is annihilated by the outer projection P);
+    # S_b applies become local SpMV + interior banded solves. Removes the
+    # dense O(n^2) local cap (K_pinv / Kii_inv / K_bi / S_b stay dummies).
+    local_mode: str = dataclasses.field(default="dense",
+                                        metadata=dict(static=True))
+    k_refine: int = dataclasses.field(default=2, metadata=dict(static=True))
+    Kb: Optional[object] = None        # BandedSolver of K + eps I (full rect)
+    Kiib: Optional[object] = None      # BandedSolver of K_ii (interior rect)
+    A_loc: Optional[object] = None     # packed local matrices (SpMV)
+    sb_lo: Optional[jax.Array] = None  # spectral bounds of D S_b D
+    sb_hi: Optional[jax.Array] = None
+    sb_degree: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 class Substructure:
@@ -120,7 +135,10 @@ class Substructure:
                  neighbors: Sequence[Sequence[int]],
                  mappings: Sequence[Sequence[np.ndarray]],
                  options: Optional[Options] = None,
-                 kernel_tol: float = 1.0e-8, r_max: int = 1):
+                 kernel_tol: float = 1.0e-8, r_max: int = 1,
+                 kernels: Optional[Sequence] = None,
+                 grid_shapes: Optional[Sequence] = None,
+                 slot_maps: Optional[Sequence] = None):
         self.opt = options if options is not None else Options()
         self.S = len(mats)
         S = self.S
@@ -198,76 +216,87 @@ class Substructure:
             else:
                 scaling[s, :nb] = 1.0 / mult[s][b]
 
-        # -- batched dense factorization ----------------------------------
+        # -- local factorizations: batched dense (default) or matrix-free
+        # banded (-hpddm_substructuring_local banded) ----------------------
         dtype = np.result_type(*[m.dtype for m in mats])
-        K = np.zeros((S, n_max, n_max), dtype=dtype)
-        for s, m in enumerate(mats):
-            K[s, : m.n, : m.n] = m.dense()
-            pad = np.arange(m.n, n_max)
-            K[s, pad, pad] = 1.0
-        K = jnp.asarray(K)
-        w, V = jnp.linalg.eigh(0.5 * (K + jnp.swapaxes(K, 1, 2)))
-        wmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
-        null = jnp.abs(w) <= kernel_tol * wmax
-        inv_w = jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, w))
-        K_pinv = jnp.einsum("snk,sk,smk->snm", V, inv_w, V)
-        # kernel basis: smallest-|w| vectors, masked by actual nullity
-        null_np = np.asarray(null)
-        r_loc = null_np.sum(axis=1)
-        r_max_eff = max(int(r_loc.max(initial=0)), 1)
-        kernels = np.zeros((S, n_max, r_max_eff), dtype=dtype)
-        V_np = np.asarray(V)
-        for s in range(S):
-            cols = np.nonzero(null_np[s])[0][:r_max_eff]
-            for k, c in enumerate(cols):
-                vec = V_np[s, :, c].copy()
-                vec[n_loc[s]:] = 0.0
-                nrm = np.linalg.norm(vec)
-                kernels[s, :, k] = vec / (nrm if nrm > 0 else 1.0)
-        # padding rows of the kernel must be zero so jumps ignore them
-        kernels_j = jnp.asarray(kernels)
+        local_mode = self.opt.val("substructuring_local") or "dense"
+        Kb = Kiib = A_loc = None
+        if local_mode == "banded":
+            (kernels_arr, kernels_j, r_loc, Sb_kernels, sb_r_loc, K_pinv,
+             S_b, S_b_pinv, K_bb_arr, K_bi, Kii_inv, Kb, Kiib, A_loc) = \
+                self._build_banded(mats, n_loc, nb_loc, ni_loc, bidx,
+                                   b_mask, iidx, i_mask, dtype, kernels,
+                                   grid_shapes, slot_maps)
+            kernels = kernels_arr
+        else:
+            K = np.zeros((S, n_max, n_max), dtype=dtype)
+            for s, m in enumerate(mats):
+                K[s, : m.n, : m.n] = m.dense()
+                pad = np.arange(m.n, n_max)
+                K[s, pad, pad] = 1.0
+            K = jnp.asarray(K)
+            w, V = jnp.linalg.eigh(0.5 * (K + jnp.swapaxes(K, 1, 2)))
+            wmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+            null = jnp.abs(w) <= kernel_tol * wmax
+            inv_w = jnp.where(null, 0.0, 1.0 / jnp.where(null, 1.0, w))
+            K_pinv = jnp.einsum("snk,sk,smk->snm", V, inv_w, V)
+            # kernel basis: smallest-|w| vectors, masked by actual nullity
+            null_np = np.asarray(null)
+            r_loc = null_np.sum(axis=1)
+            r_max_eff = max(int(r_loc.max(initial=0)), 1)
+            kernels = np.zeros((S, n_max, r_max_eff), dtype=dtype)
+            V_np = np.asarray(V)
+            for s in range(S):
+                cols = np.nonzero(null_np[s])[0][:r_max_eff]
+                for k, c in enumerate(cols):
+                    vec = V_np[s, :, c].copy()
+                    vec[n_loc[s]:] = 0.0
+                    nrm = np.linalg.norm(vec)
+                    kernels[s, :, k] = vec / (nrm if nrm > 0 else 1.0)
+            # padding rows of the kernel must be zero so jumps ignore them
+            kernels_j = jnp.asarray(kernels)
 
-        # -- Schur complements --------------------------------------------
-        K_np = np.asarray(K)
-        S_b = np.zeros((S, nb_max, nb_max), dtype=dtype)
-        K_bb_arr = np.zeros((S, nb_max, nb_max), dtype=dtype)
-        K_bi = np.zeros((S, nb_max, ni_max), dtype=dtype)
-        Kii_inv = np.zeros((S, ni_max, ni_max), dtype=dtype)
-        for s in range(S):
-            nb, ni = nb_loc[s], int(ni_loc[s])
-            b = bidx[s, :nb]
-            i = iidx[s, :ni]
-            Kbb = K_np[s][np.ix_(b, b)]
-            Kbi = K_np[s][np.ix_(b, i)]
-            Kii = K_np[s][np.ix_(i, i)]
-            Kii_i = np.linalg.inv(Kii)
-            S_b[s, :nb, :nb] = Kbb - Kbi @ Kii_i @ Kbi.T
-            pad = np.arange(nb, nb_max)
-            S_b[s, pad, pad] = 1.0
-            K_bb_arr[s, :nb, :nb] = Kbb
-            K_bb_arr[s, pad, pad] = 1.0
-            K_bi[s, :nb, :ni] = Kbi
-            Kii_inv[s, :ni, :ni] = Kii_i
-            padi = np.arange(ni, ni_max)
-            Kii_inv[s, padi, padi] = 1.0
-        S_b = jnp.asarray(S_b)
-        wS, VS = jnp.linalg.eigh(0.5 * (S_b + jnp.swapaxes(S_b, 1, 2)))
-        wSmax = jnp.max(jnp.abs(wS), axis=1, keepdims=True)
-        nullS = jnp.abs(wS) <= kernel_tol * wSmax
-        inv_wS = jnp.where(nullS, 0.0, 1.0 / jnp.where(nullS, 1.0, wS))
-        S_b_pinv = jnp.einsum("snk,sk,smk->snm", VS, inv_wS, VS)
-        nullS_np = np.asarray(nullS)
-        sb_r_loc = nullS_np.sum(axis=1)
-        sb_r_max = max(int(sb_r_loc.max(initial=0)), 1)
-        Sb_kernels = np.zeros((S, nb_max, sb_r_max), dtype=dtype)
-        VS_np = np.asarray(VS)
-        for s in range(S):
-            cols = np.nonzero(nullS_np[s])[0][:sb_r_max]
-            for k, c in enumerate(cols):
-                vec = VS_np[s, :, c].copy()
-                vec[nb_loc[s]:] = 0.0
-                nrm = np.linalg.norm(vec)
-                Sb_kernels[s, :, k] = vec / (nrm if nrm > 0 else 1.0)
+            # -- Schur complements --------------------------------------------
+            K_np = np.asarray(K)
+            S_b = np.zeros((S, nb_max, nb_max), dtype=dtype)
+            K_bb_arr = np.zeros((S, nb_max, nb_max), dtype=dtype)
+            K_bi = np.zeros((S, nb_max, ni_max), dtype=dtype)
+            Kii_inv = np.zeros((S, ni_max, ni_max), dtype=dtype)
+            for s in range(S):
+                nb, ni = nb_loc[s], int(ni_loc[s])
+                b = bidx[s, :nb]
+                i = iidx[s, :ni]
+                Kbb = K_np[s][np.ix_(b, b)]
+                Kbi = K_np[s][np.ix_(b, i)]
+                Kii = K_np[s][np.ix_(i, i)]
+                Kii_i = np.linalg.inv(Kii)
+                S_b[s, :nb, :nb] = Kbb - Kbi @ Kii_i @ Kbi.T
+                pad = np.arange(nb, nb_max)
+                S_b[s, pad, pad] = 1.0
+                K_bb_arr[s, :nb, :nb] = Kbb
+                K_bb_arr[s, pad, pad] = 1.0
+                K_bi[s, :nb, :ni] = Kbi
+                Kii_inv[s, :ni, :ni] = Kii_i
+                padi = np.arange(ni, ni_max)
+                Kii_inv[s, padi, padi] = 1.0
+            S_b = jnp.asarray(S_b)
+            wS, VS = jnp.linalg.eigh(0.5 * (S_b + jnp.swapaxes(S_b, 1, 2)))
+            wSmax = jnp.max(jnp.abs(wS), axis=1, keepdims=True)
+            nullS = jnp.abs(wS) <= kernel_tol * wSmax
+            inv_wS = jnp.where(nullS, 0.0, 1.0 / jnp.where(nullS, 1.0, wS))
+            S_b_pinv = jnp.einsum("snk,sk,smk->snm", VS, inv_wS, VS)
+            nullS_np = np.asarray(nullS)
+            sb_r_loc = nullS_np.sum(axis=1)
+            sb_r_max = max(int(sb_r_loc.max(initial=0)), 1)
+            Sb_kernels = np.zeros((S, nb_max, sb_r_max), dtype=dtype)
+            VS_np = np.asarray(VS)
+            for s in range(S):
+                cols = np.nonzero(nullS_np[s])[0][:sb_r_max]
+                for k, c in enumerate(cols):
+                    vec = VS_np[s, :, c].copy()
+                    vec[nb_loc[s]:] = 0.0
+                    nrm = np.linalg.norm(vec)
+                    Sb_kernels[s, :, k] = vec / (nrm if nrm > 0 else 1.0)
 
         # -- coarse projection G = B * kernels ----------------------------
         nc_cols = [(s, k) for s in range(S)
@@ -343,9 +372,146 @@ class Substructure:
             G=None if G is None else jnp.asarray(G),
             GtG_inv=None if GtG_inv is None else jnp.asarray(GtG_inv),
             dec_b=dec_b, N_l=N_l, nc=nc, n_max=n_max, S_total=S,
-            coarse_mode=co_mode)
+            coarse_mode=co_mode, local_mode=local_mode,
+            k_refine=int(self.opt.val("substructuring_refine", 2)),
+            Kb=Kb, Kiib=Kiib, A_loc=A_loc)
+        if local_mode == "banded":
+            self.state = _calibrate_sb(self.state, self.opt)
         if co_mode == "cheby":
             self.state = _calibrate_coarse(self.state, self.opt)
+
+    # ------------------------------------------------------------------
+    def _build_banded(self, mats, n_loc, nb_loc, ni_loc, bidx, b_mask,
+                      iidx, i_mask, dtype, kernels_in, grid_shapes,
+                      slot_maps=None):
+        """Matrix-free local factorizations for grid subdomains:
+        banded LU of K + eps I (full local rectangle) and of K_ii
+        (interior sub-rectangle), packed local matrices for SpMV, dense
+        K_bb (lumped preconditioner only), analytic kernels. The O(n^2)
+        dense blocks (K_pinv/S_b/S_b_pinv/Kii_inv/K_bi) stay (S,1,1)
+        dummies."""
+        import scipy.sparse as sp
+        from hpddm_tpu.core.formats import pack_local_matrices
+        from hpddm_tpu.ops.banded_solve import build_banded_solver
+        S = self.S
+        n_max = self.n_max
+        if grid_shapes is None:
+            raise ValueError("substructuring_local=banded needs "
+                             "grid_shapes=[(wy, wx), ...] describing the "
+                             "row-major local grid ordering")
+        # analytic kernels (constants / rigid-body modes), orthonormalized
+        r_loc = np.zeros(S, dtype=np.int64)
+        cols = []
+        for s in range(S):
+            ker = None if kernels_in is None else kernels_in[s]
+            if ker is None or np.size(ker) == 0:
+                cols.append(np.zeros((int(n_loc[s]), 0)))
+                continue
+            k2 = np.asarray(ker, dtype=np.float64)
+            if k2.ndim == 1:
+                k2 = k2[:, None]
+            q, rr = np.linalg.qr(k2)
+            keep = np.abs(np.diag(rr)) > 1e-10 * max(
+                np.abs(np.diag(rr)).max(), 1e-300)
+            q = q[:, keep]
+            cols.append(q)
+            r_loc[s] = q.shape[1]
+        r_max_eff = max(int(r_loc.max(initial=0)), 1)
+        kernels = np.zeros((S, n_max, r_max_eff), dtype=dtype)
+        for s in range(S):
+            kernels[s, : int(n_loc[s]), : cols[s].shape[1]] = cols[s]
+
+        # banded factor of K (+ eps I on floating subdomains; the eps error
+        # is removed by the refinement passes + kernel projection)
+        eps_rel = 1e-8 if np.dtype(dtype).itemsize >= 8 else 1e-4
+        K_regs, local_boxes = [], []
+        for s, m in enumerate(mats):
+            Ks = sp.csr_matrix(m.scipy(expand=True), dtype=np.float64)
+            if r_loc[s]:
+                scale = float(np.abs(Ks.diagonal()).mean())
+                Ks = sp.csr_matrix(Ks + (eps_rel * scale)
+                                   * sp.identity(Ks.shape[0]))
+            K_regs.append(Ks)
+            wy, wx = grid_shapes[s]
+            if slot_maps is None and wy * wx != int(n_loc[s]):
+                raise ValueError(f"subdomain {s}: grid shape {wy}x{wx} "
+                                 f"does not match n={n_loc[s]} (pass "
+                                 "slot_maps for unfilled boxes)")
+            local_boxes.append((0, wx, 0, wy))
+
+        class _W:                      # tiny adapter for build_banded_solver
+            def __init__(self, A):
+                self._A = A
+
+            def scipy(self, expand=True):
+                return self._A
+
+        Kb = build_banded_solver([_W(K) for K in K_regs], local_boxes,
+                                 n_max, dtype=dtype, slot_maps=slot_maps)
+
+        # interior sub-rectangles -> banded factor of K_ii (holes
+        # embedded via slot maps, like the full-box factor)
+        ni_max = iidx.shape[1]
+        Kii_list, i_boxes, i_slots = [], [], []
+        for s, m in enumerate(mats):
+            wy, wx = grid_shapes[s]
+            ni = int(ni_loc[s])
+            ii = np.asarray(iidx[s, :ni], dtype=np.int64)
+            sl = (np.arange(int(n_loc[s])) if slot_maps is None
+                  else np.asarray(slot_maps[s], dtype=np.int64))
+            pos = sl[ii]
+            iy, ix = pos // wx, pos % wx
+            wyi = int(iy.max() - iy.min() + 1) if ni else 1
+            wxi = int(ix.max() - ix.min() + 1) if ni else 1
+            islot = ((iy - (iy.min() if ni else 0)) * wxi
+                     + (ix - (ix.min() if ni else 0)))
+            if len(np.unique(islot)) != ni:
+                raise ValueError(f"subdomain {s}: interior dof set does "
+                                 "not embed in a rectangle")
+            Ks = m.scipy(expand=True)
+            Kii_list.append(_W(sp.csr_matrix(Ks[np.ix_(ii, ii)])))
+            i_boxes.append((0, wxi, 0, wyi))
+            i_slots.append(islot)
+        Kiib = build_banded_solver(Kii_list, i_boxes, ni_max, dtype=dtype,
+                                   slot_maps=i_slots)
+
+        A_loc = pack_local_matrices(list(mats), n_max=n_max, fmt="auto",
+                                    pad_identity=True)
+        if hasattr(A_loc, "astype"):
+            A_loc = A_loc.astype(jnp.dtype(dtype))
+
+        # K_bb (lumped preconditioner) + boundary traces of the kernels
+        nb_max = bidx.shape[1]
+        K_bb_arr = np.zeros((S, nb_max, nb_max), dtype=dtype)
+        sb_r_loc = np.zeros(S, dtype=np.int64)
+        sb_cols = []
+        for s, m in enumerate(mats):
+            nb = int(nb_loc[s])
+            b = np.asarray(bidx[s, :nb], dtype=np.int64)
+            Ks = m.scipy(expand=True)
+            K_bb_arr[s, :nb, :nb] = np.asarray(Ks[np.ix_(b, b)].todense())
+            pad = np.arange(nb, nb_max)
+            K_bb_arr[s, pad, pad] = 1.0
+            tr = cols[s][b] if cols[s].shape[1] else np.zeros((nb, 0))
+            if tr.shape[1]:
+                q, rr = np.linalg.qr(tr)
+                keep = np.abs(np.diag(rr)) > 1e-10 * max(
+                    np.abs(np.diag(rr)).max(), 1e-300)
+                sb_cols.append(q[:, keep])
+                sb_r_loc[s] = int(keep.sum())
+            else:
+                sb_cols.append(np.zeros((nb, 0)))
+        sb_r_max = max(int(sb_r_loc.max(initial=0)), 1)
+        Sb_kernels = np.zeros((S, nb_max, sb_r_max), dtype=dtype)
+        for s in range(S):
+            Sb_kernels[s, : sb_cols[s].shape[0],
+                       : sb_cols[s].shape[1]] = sb_cols[s]
+
+        dummy = jnp.zeros((S, 1, 1), dtype=dtype)
+        return (kernels, jnp.asarray(kernels), r_loc, Sb_kernels, sb_r_loc,
+                dummy, dummy, dummy, K_bb_arr,
+                np.zeros((S, 1, 1), dtype=dtype),
+                np.zeros((S, 1, 1), dtype=dtype), Kb, Kiib, A_loc)
 
     # ------------------------------------------------------------------
     def solve_gevp(self, nu: int = 4,
@@ -361,6 +527,11 @@ class Substructure:
         projected operator P F P^T). Returns the enriched state (also
         stored on self)."""
         st = self.state
+        if st.local_mode == "banded":
+            raise NotImplementedError(
+                "GenEO-substructuring uses the dense local Schur pencil; "
+                "with -hpddm_substructuring_local banded use the kernel "
+                "coarse space (or build with the dense local mode)")
         S, nb, _ = st.S_b.shape
         D = st.scaling
         DSD = st.S_b * D[:, :, None] * D[:, None, :]
@@ -501,6 +672,41 @@ def _cheb_degree(kappa: float, dtype, override) -> int:
     return int(np.clip(k, 8, 128))
 
 
+def _calibrate_sb(st: SubstructureState, opt: Options) -> SubstructureState:
+    """Spectral bounds of the kernel-deflated local Schur operator (banded
+    local mode): drives the fixed-degree Chebyshev S_b^+ of bdd_precond."""
+    dtype = st.scaling.dtype
+    rdt = underlying(dtype)
+    S, nb = st.bidx.shape
+
+    def P(x):
+        x = jnp.where(st.b_mask[:, :, None], x, 0)
+        q = jnp.einsum("snk,snm->skm", jnp.conj(st.Sb_kernels), x)
+        return x - jnp.einsum("snk,skm->snm", st.Sb_kernels, q)
+
+    def mv0(x):
+        return P(_sb_apply(st, P(x)))
+
+    v0 = jax.random.normal(jax.random.PRNGKey(41), (S, nb, 1)).astype(dtype)
+    hi, _ = _spd_bounds(mv0, v0)
+    hi_f = float(hi) * 1.05
+    if not hi_f > 0:
+        hi_f = 1.0
+
+    def mv1(x):
+        # complement (padded + kernel) directions mapped to hi so the
+        # shifted power iteration sees only the deflated range spectrum
+        return mv0(x) + hi_f * (x - P(x))
+
+    _, lo = _spd_bounds(mv1, v0)
+    lo_f = float(np.clip(0.5 * float(lo), 1e-8 * hi_f, 0.9 * hi_f))
+    deg = _cheb_degree(hi_f / lo_f, rdt,
+                       opt.val("substructuring_local_degree"))
+    return dataclasses.replace(
+        st, sb_lo=jnp.asarray(lo_f, rdt), sb_hi=jnp.asarray(hi_f, rdt),
+        sb_degree=deg)
+
+
 def _G_apply(st: SubstructureState, alpha: jax.Array,
              axis_name: Optional[str] = None) -> jax.Array:
     """G alpha = B (R alpha) — dense when materialized, else matrix-free."""
@@ -583,7 +789,7 @@ def _calibrate_coarse(st: SubstructureState,
                       opt: Options) -> SubstructureState:
     """Estimate spectral bounds of G^T G and W^T S W and pick the Chebyshev
     degrees (setup-time; re-run after GenEO enrichment)."""
-    dtype = st.S_b.dtype
+    dtype = st.scaling.dtype
     rdt = underlying(dtype)
     override = opt.val("substructuring_coarse_degree")
 
@@ -613,6 +819,113 @@ def _calibrate_coarse(st: SubstructureState,
         st, coarse_degree=gdeg, bdd_coarse_degree=bdeg,
         gtg_lo=jnp.asarray(glo, rdt), gtg_hi=jnp.asarray(ghi, rdt),
         wsw_lo=jnp.asarray(blo, rdt), wsw_hi=jnp.asarray(bhi, rdt))
+
+
+# ----------------------------------------------------------------------
+# local applies: dense factors or matrix-free banded
+# ----------------------------------------------------------------------
+
+def _gather_b(st: SubstructureState, w: jax.Array) -> jax.Array:
+    vb = jnp.take_along_axis(w, st.bidx[:, :, None], axis=1)
+    return jnp.where(st.b_mask[:, :, None], vb, 0)
+
+
+def _scatter_b(st: SubstructureState, vb: jax.Array) -> jax.Array:
+    S, nb = st.bidx.shape
+    out = jnp.zeros((S, st.n_max, vb.shape[-1]), dtype=vb.dtype)
+    s_ix = jnp.broadcast_to(jnp.arange(S)[:, None], (S, nb))
+    safe = jnp.where(st.b_mask, st.bidx, st.n_max)
+    return out.at[s_ix, safe].set(vb, mode="drop")
+
+
+def _gather_i(st: SubstructureState, w: jax.Array) -> jax.Array:
+    vi = jnp.take_along_axis(w, st.iidx[:, :, None], axis=1)
+    return jnp.where(st.i_mask[:, :, None], vi, 0)
+
+
+def _scatter_i(st: SubstructureState, vi: jax.Array) -> jax.Array:
+    S, ni = st.iidx.shape
+    out = jnp.zeros((S, st.n_max, vi.shape[-1]), dtype=vi.dtype)
+    s_ix = jnp.broadcast_to(jnp.arange(S)[:, None], (S, ni))
+    safe = jnp.where(st.i_mask, st.iidx, st.n_max)
+    return out.at[s_ix, safe].set(vi, mode="drop")
+
+
+def _kernel_project(st: SubstructureState, x: jax.Array) -> jax.Array:
+    """P x = x - Q (Q^H x) with Q = orthonormal kernel columns (padded
+    columns are zero, so no masking is needed)."""
+    q = jnp.einsum("snk,snm->skm", jnp.conj(st.kernels), x)
+    return x - jnp.einsum("snk,skm->snm", st.kernels, q)
+
+
+def _k_pinv_apply(st: SubstructureState, w: jax.Array) -> jax.Array:
+    """K^+ w: dense pseudo-inverse, or (banded mode) projected regularized
+    solve with ``k_refine`` residual-refinement passes — each pass damps
+    the regularization error by eps/(lambda+eps); the outer projection
+    removes the kernel component exactly."""
+    if st.local_mode != "banded":
+        return jnp.einsum("snk,skm->snm", st.K_pinv, w)
+    from hpddm_tpu.ops.spmv import spmm
+    b = _kernel_project(st, w)
+    x = st.Kb.solve(b)
+    for _ in range(st.k_refine):
+        x = x + st.Kb.solve(b - spmm(st.A_loc, x))
+    return _kernel_project(st, x)
+
+
+def _kii_solve(st: SubstructureState, y: jax.Array) -> jax.Array:
+    """K_ii^-1 y on interface-condensed interior vectors (iidx order)."""
+    if st.local_mode != "banded":
+        return jnp.einsum("snk,skm->snm", st.Kii_inv, y)
+    return st.Kiib.solve(y)
+
+
+def _kbi_apply(st: SubstructureState, ui: jax.Array) -> jax.Array:
+    """K_bi u_i via one local SpMV (zero-extended interior vector)."""
+    if st.local_mode != "banded":
+        return jnp.einsum("snk,skm->snm", st.K_bi, ui)
+    from hpddm_tpu.ops.spmv import spmm
+    return _gather_b(st, spmm(st.A_loc, _scatter_i(st, ui)))
+
+
+def _kib_apply(st: SubstructureState, ub: jax.Array) -> jax.Array:
+    """K_ib u_b = K_bi^T u_b (structurally symmetric local matrices)."""
+    if st.local_mode != "banded":
+        return jnp.einsum("sbn,sbm->snm", st.K_bi, ub)
+    from hpddm_tpu.ops.spmv import spmm
+    return _gather_i(st, spmm(st.A_loc, _scatter_b(st, ub)))
+
+
+def _sb_apply(st: SubstructureState, vb: jax.Array) -> jax.Array:
+    """S_b v = K_bb v - K_bi K_ii^-1 K_ib v; explicit dense block or
+    (banded mode) implicit via two local SpMVs + one interior solve
+    (``applyLocalSchurComplement``'s implicit variant,
+    HPDDM_schur.hpp:600-643)."""
+    if st.local_mode != "banded":
+        return jnp.einsum("snk,skm->snm", st.S_b, vb)
+    from hpddm_tpu.ops.spmv import spmm
+    w = spmm(st.A_loc, _scatter_b(st, vb))
+    z = _kii_solve(st, _gather_i(st, w))
+    v2 = spmm(st.A_loc, _scatter_i(st, z))
+    return _gather_b(st, w) - _gather_b(st, v2)
+
+
+def _sb_pinv_apply(st: SubstructureState, z: jax.Array) -> jax.Array:
+    """S_b^+ z: dense pseudo-inverse, or (banded mode) fixed-degree
+    Chebyshev on the kernel-deflated implicit Schur apply — a *linear*
+    operator, so the BDD CG stays valid."""
+    if st.local_mode != "banded":
+        return jnp.einsum("snk,skm->snm", st.S_b_pinv, z)
+
+    def proj(x):
+        q = jnp.einsum("snk,snm->skm", jnp.conj(st.Sb_kernels), x)
+        return x - jnp.einsum("snk,skm->snm", st.Sb_kernels, q)
+
+    def mv(x):
+        return proj(_sb_apply(st, proj(x)))
+
+    return proj(_cheb_inverse(mv, proj(z), st.sb_lo, st.sb_hi,
+                              st.sb_degree))
 
 
 # ----------------------------------------------------------------------
@@ -646,7 +959,7 @@ def feti_operator(st: SubstructureState, lam: jax.Array,
                   axis_name: Optional[str] = None) -> jax.Array:
     """F lambda = B K^+ B^T lambda (Feti::A, HPDDM_FETI.hpp:63-87)."""
     w = bt_apply(st, lam)
-    u = jnp.einsum("snk,skm->snm", st.K_pinv, w)
+    u = _k_pinv_apply(st, w)
     return b_apply(st, u, axis_name)
 
 
@@ -677,8 +990,9 @@ def feti_precond(st: SubstructureState, lam: jax.Array,
         y = y.at[s_ix, safe_b].set(yb, mode="drop")
         return b_apply(st, y, axis_name)
     else:
-        Sb = st.S_b                     # FetiPrcndtnr::DIRICHLET
-    yb = jnp.einsum("snk,skm->snm", Sb, vb)
+        Sb = None                       # FetiPrcndtnr::DIRICHLET
+    yb = (_sb_apply(st, vb) if Sb is None
+          else jnp.einsum("snk,skm->snm", Sb, vb))
     yb = st.scaling[:, :, None] * yb
     yb = jnp.where(st.b_mask[:, :, None], yb, 0)
     y = jnp.zeros_like(w)
@@ -712,7 +1026,7 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     rdtype = underlying(f.dtype)
 
     # dual RHS d = B K^+ f ; compatibility e = R^T f
-    Kf = jnp.einsum("snk,skm->snm", st.K_pinv, f)
+    Kf = _k_pinv_apply(st, f)
     d = b_apply(st, Kf, axis_name)
     e = _kernel_dots(st, f, axis_name)                       # (nc, mu)
     lam0 = _G_apply(st, _gtg_solve(st, e, axis_name), axis_name)
@@ -770,7 +1084,7 @@ def feti_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     # only the *kernel* columns of G determine the floating-mode
     # amplitudes; GenEO enrichment columns are projection-only
     w = f - bt_apply(st, cf.lam)
-    u = jnp.einsum("snk,skm->snm", st.K_pinv, w)
+    u = _k_pinv_apply(st, w)
     jump_u = b_apply(st, u, axis_name)
     alpha = -_gtg_solve(st, _Gt_apply(st, jump_u, axis_name), axis_name)
     u = u + _kernel_expand(st, alpha)
@@ -816,7 +1130,7 @@ def bdd_operator(st: SubstructureState, ub: jax.Array,
                  axis_name: Optional[str] = None) -> jax.Array:
     """Global Schur action on consistent interface vectors:
     sum R^T S_s R u (Bdd::apply, HPDDM_BDD.hpp:151-160)."""
-    y = jnp.einsum("snk,skm->snm", st.S_b, ub)
+    y = _sb_apply(st, ub)
     return exchange(st.dec_b, y, axis_name)
 
 
@@ -824,7 +1138,7 @@ def bdd_precond(st: SubstructureState, r: jax.Array,
                 axis_name: Optional[str] = None) -> jax.Array:
     """Neumann-Neumann: sum R^T D S_s^+ D R r (Bdd::precond)."""
     z = st.scaling[:, :, None] * r
-    z = jnp.einsum("snk,skm->snm", st.S_b_pinv, z)
+    z = _sb_pinv_apply(st, z)
     z = st.scaling[:, :, None] * z
     return exchange(st.dec_b, z, axis_name)
 
@@ -843,16 +1157,16 @@ def bdd_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     recovery u_i = K_ii^-1 (f_i - K_ib u_b)."""
     mu = f.shape[-1]
     rdtype = underlying(f.dtype)
-    S, nb, _ = st.S_b.shape
+    S, nb = st.bidx.shape
 
     # condensed RHS g = exchange(f_b - K_bi K_ii^-1 f_i)
     # (Schur::condensateEffort, HPDDM_schur.hpp:724)
     fi = jnp.take_along_axis(f, st.iidx[:, :, None], axis=1)
     fi = jnp.where(st.i_mask[:, :, None], fi, 0)
-    ui0 = jnp.einsum("snk,skm->snm", st.Kii_inv, fi)
+    ui0 = _kii_solve(st, fi)
     fb = jnp.take_along_axis(f, st.bidx[:, :, None], axis=1)
     fb = jnp.where(st.b_mask[:, :, None], fb, 0)
-    g_loc = fb - jnp.einsum("snk,skm->snm", st.K_bi, ui0)
+    g_loc = fb - _kbi_apply(st, ui0)
     g = exchange(st.dec_b, g_loc, axis_name)
 
     # balancing coarse space: columns W^(s,k) = exchange(D_s Sb_kernel)
@@ -970,8 +1284,7 @@ def bdd_solve(st: SubstructureState, f: jax.Array, tol: float = 1.0e-8,
     # interior recovery on full local numbering:
     # u_i = K_ii^-1 (f_i - K_ib u_b)  (originalNumbering analogue)
     ub = cf.u
-    ui = jnp.einsum("snk,skm->snm", st.Kii_inv,
-                    fi - jnp.einsum("sbn,sbm->snm", st.K_bi, ub))
+    ui = _kii_solve(st, fi - _kib_apply(st, ub))
     u_full = jnp.zeros((S, st.n_max, mu), dtype=f.dtype)
     s_b = jnp.broadcast_to(jnp.arange(S)[:, None], st.bidx.shape)
     safe_b = jnp.where(st.b_mask, st.bidx, st.n_max)

@@ -28,7 +28,11 @@ def main():
     from hpddm_tpu.precond.schwarz import Schwarz, compute_residual
     from hpddm_tpu.solvers.krylov import solve
 
-    argv = [int(a) for a in sys.argv[1:6]] or []
+    args = sys.argv[1:]
+    local = "dst_cheby"
+    if args and not args[-1].isdigit():
+        local = args.pop()
+    argv = [int(a) for a in args[:5]]
     S, Nx, Ny, nu, steps = (argv + [16, 1024, 1024, 16, 32][len(argv):])
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = np.float32 if on_tpu else np.float64
@@ -47,14 +51,14 @@ def main():
     from hpddm_tpu.core.scaling import jacobi_scale
     mats, f_list, neumann, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
     t_gen = time.perf_counter() - t0
-    opt = Options(tol=tol, local_solver="dst_cheby",
+    opt = Options(tol=tol, local_solver=local,
                   local_cheby_steps=steps,
                   schwarz_coarse_correction="deflated", geneo_nu=nu)
     sch = Schwarz(mats, gen.neighbors, gen.mappings, d=gen.d,
                   options=opt)
     sch.set_grid_geometry(gen.boxes, Nx, Ny)
     print(f"backend={jax.default_backend()} S={S} grid={Nx}x{Ny} "
-          f"n_loc~{gen.n_loc[0]} nu={nu} cheby_steps={steps} "
+          f"n_loc~{gen.n_loc[0]} nu={nu} local={local} cheby_steps={steps} "
           f"gen={t_gen:.1f}s", flush=True)
 
     t0 = time.perf_counter()
@@ -88,7 +92,7 @@ def main():
     # mixed-precision iterative refinement: host-f64 residuals around the
     # f32 device solve — f64-grade accuracy without f64 hardware
     from hpddm_tpu.solvers.refine import solve_refined
-    opt_ir = Options(tol=1e-3, local_solver="dst_cheby",
+    opt_ir = Options(tol=1e-3, local_solver=local,
                      local_cheby_steps=steps,
                      schwarz_coarse_correction="deflated", geneo_nu=nu)
     ir_jit = jax.jit(lambda b: solve(state, jnp.asarray(b), opt=opt_ir))
