@@ -150,27 +150,45 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
     ncv = min(ncv, n)
     rng = np.random.default_rng(seed)
     v = jnp.asarray(rng.normal(size=(S, n, 1)), dtype=dtype)
-    nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, apply_B(v))))
-    v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
 
-    def step(carry, j):
-        v, V, BV, OpV = carry
-        Bv = apply_B(v)
-        w = apply_Ainv(Bv)                                 # Op v_j
-        V = jax.lax.dynamic_update_index_in_dim(V, v[:, :, 0], j, axis=2)
-        BV = jax.lax.dynamic_update_index_in_dim(BV, Bv[:, :, 0], j, axis=2)
-        OpV = jax.lax.dynamic_update_index_in_dim(OpV, w[:, :, 0], j, axis=2)
-        # full B-reorthogonalization (twice) against columns 0..j — the
-        # not-yet-filled columns are zero, so they contribute nothing
-        for _ in range(2):
-            c = jnp.einsum("snj,sn->sj", BV, w[:, :, 0])
-            w = w - jnp.einsum("snj,sj->sn", V, c)[:, :, None]
-        beta = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", w, apply_B(w))))
-        v = w / jnp.maximum(beta, 1e-30)[:, None, None]
-        return (v, V, BV, OpV), None
+    # hoist the operators' captured arrays into jit *arguments*: a
+    # closure-captured state (e.g. a banded factor, ~1 GB at 1M dofs)
+    # would be embedded into the HLO as a literal, which the remote TPU
+    # compile server chews on for tens of minutes (measured: >800 s for a
+    # trivial scan over a 1.1 GB constant vs 1.2 s with it as an argument)
+    fA, cA = jax.closure_convert(apply_Ainv, v)
+    fB, cB = jax.closure_convert(apply_B, v)
 
-    Z = jnp.zeros((S, n, ncv), dtype=dtype)
-    (_, V, BV, OpV), _ = jax.lax.scan(step, (v, Z, Z, Z), jnp.arange(ncv))
+    @jax.jit
+    def run(v, cA, cB):
+        nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, fB(v, *cB))))
+        v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
+
+        def step(carry, j):
+            v, V, BV, OpV = carry
+            Bv = fB(v, *cB)
+            w = fA(Bv, *cA)                                # Op v_j
+            V = jax.lax.dynamic_update_index_in_dim(V, v[:, :, 0], j, axis=2)
+            BV = jax.lax.dynamic_update_index_in_dim(BV, Bv[:, :, 0], j,
+                                                     axis=2)
+            OpV = jax.lax.dynamic_update_index_in_dim(OpV, w[:, :, 0], j,
+                                                      axis=2)
+            # full B-reorthogonalization (twice) against columns 0..j —
+            # the not-yet-filled columns are zero, contributing nothing
+            for _ in range(2):
+                c = jnp.einsum("snj,sn->sj", BV, w[:, :, 0])
+                w = w - jnp.einsum("snj,sj->sn", V, c)[:, :, None]
+            beta = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", w,
+                                               fB(w, *cB))))
+            v = w / jnp.maximum(beta, 1e-30)[:, None, None]
+            return (v, V, BV, OpV), None
+
+        Z = jnp.zeros((S, n, ncv), dtype=dtype)
+        (_, V, BV, OpV), _ = jax.lax.scan(step, (v, Z, Z, Z),
+                                          jnp.arange(ncv))
+        return V, BV, OpV
+
+    V, BV, OpV = run(v, cA, cB)
 
     # small projected problem per subdomain: T = V^T_B (A^-1 B) V_B is
     # symmetric in the B-inner product; build it densely from the basis

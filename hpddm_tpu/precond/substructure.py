@@ -468,8 +468,8 @@ class Substructure:
             if len(np.unique(islot)) != ni:
                 raise ValueError(f"subdomain {s}: interior dof set does "
                                  "not embed in a rectangle")
-            Ks = m.scipy(expand=True)
-            Kii_list.append(_W(sp.csr_matrix(Ks[np.ix_(ii, ii)])))
+            Ks = sp.csr_matrix(m.scipy(expand=True))
+            Kii_list.append(_W(sp.csr_matrix(Ks[ii][:, ii])))
             i_boxes.append((0, wxi, 0, wyi))
             i_slots.append(islot)
         Kiib = build_banded_solver(Kii_list, i_boxes, ni_max, dtype=dtype,
@@ -488,8 +488,8 @@ class Substructure:
         for s, m in enumerate(mats):
             nb = int(nb_loc[s])
             b = np.asarray(bidx[s, :nb], dtype=np.int64)
-            Ks = m.scipy(expand=True)
-            K_bb_arr[s, :nb, :nb] = np.asarray(Ks[np.ix_(b, b)].todense())
+            Ks = sp.csr_matrix(m.scipy(expand=True))
+            K_bb_arr[s, :nb, :nb] = np.asarray(Ks[b][:, b].todense())
             pad = np.arange(nb, nb_max)
             K_bb_arr[s, pad, pad] = 1.0
             tr = cols[s][b] if cols[s].shape[1] else np.zeros((nb, 0))

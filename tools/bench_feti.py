@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--max-it", type=int, default=500)
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
     ap.add_argument("--modes", default="dense,mfree,cheby")
+    ap.add_argument("--local", default="dense", choices=("dense", "banded"))
     ap.add_argument("--skip-bdd", action="store_true")
     args = ap.parse_args()
 
@@ -54,12 +55,18 @@ def main():
 
     for mode in args.modes.split(","):
         t0 = time.perf_counter()
+        kw = {}
+        if args.local == "banded":
+            kw = dict(kernels=gen.kernels, grid_shapes=gen.grid_shapes,
+                      slot_maps=gen.slot_maps)
         sub = Substructure(gen.mats, gen.neighbors, gen.mappings,
-                           options=Options(substructuring_coarse=mode))
+                           options=Options(substructuring_coarse=mode,
+                                           substructuring_local=args.local),
+                           **kw)
         st = sub.state
         t_build = time.perf_counter() - t0
         S = len(gen.mats)
-        nb_max = st.S_b.shape[1]
+        nb_max = st.bidx.shape[1]
         r_max = st.Sb_kernels.shape[2]
         ncb = S * r_max
         bytesize = np.dtype(dtype).itemsize

@@ -75,11 +75,14 @@ def main():
     for s in range(S):
         f[s, : gen.n_loc[s]] = f_list[s]
     f = jnp.asarray(f)
-    solve_jit = jax.jit(lambda b: solve(state, b, opt=opt))
-    res = solve_jit(f)
+    # state as a jit ARGUMENT, not a closure: closure-captured states are
+    # embedded into the HLO as literals, and at this scale (banded factors
+    # ~1 GB) the remote compile server never finishes (PERF.md)
+    solve_jit = jax.jit(lambda st, b: solve(st, b, opt=opt))
+    res = solve_jit(state, f)
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
-    res = solve_jit(f)
+    res = solve_jit(state, f)
     jax.block_until_ready(res.x)
     t_solve = time.perf_counter() - t0
     rr = np.array(compute_residual(state, res.x, f)).ravel()
@@ -95,7 +98,10 @@ def main():
     opt_ir = Options(tol=1e-3, local_solver=local,
                      local_cheby_steps=steps,
                      schwarz_coarse_correction="deflated", geneo_nu=nu)
-    ir_jit = jax.jit(lambda b: solve(state, jnp.asarray(b), opt=opt_ir))
+    ir_jit = jax.jit(lambda b: solve(state, jnp.asarray(b), opt=opt_ir)) \
+        if local != "banded" else \
+        (lambda b: solve_ir_jit(state, jnp.asarray(b)))
+    solve_ir_jit = jax.jit(lambda st, b: solve(st, b, opt=opt_ir))
     t0 = time.perf_counter()
     x, info = solve_refined(ir_jit, mats, np.asarray(f), state.dec,
                             tol=1e-10, max_refine=6)
