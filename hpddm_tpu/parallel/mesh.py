@@ -36,6 +36,24 @@ def _is_subdomain_leaf(path_leaf, S: int) -> bool:
     return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == S
 
 
+def _banded_pspecs(bs, axis: str):
+    """PartitionSpecs for a BandedSolver: its factor/coupling arrays are
+    (wy, S, ...) — the subdomain axis is axis 1 (the scan runs over wy),
+    so the generic S-leading rule would replicate the ~GB factors."""
+    import dataclasses
+    from jax.sharding import PartitionSpec as P
+    return dataclasses.replace(
+        bs, Dinv=P(None, axis, None, None), cl=P(None, axis, None),
+        cu=P(None, axis, None), idx_fwd=P(axis, None),
+        msk_fwd=P(axis, None, None), idx_inv=P(axis, None),
+        msk_inv=P(axis, None, None))
+
+
+def _maybe_banded(x):
+    from hpddm_tpu.ops.banded_solve import BandedSolver
+    return isinstance(x, BandedSolver)
+
+
 def state_pspecs(state, axis: str = "sub"):
     """PartitionSpec pytree: shard S-leading leaves, replicate the rest.
 
@@ -62,7 +80,12 @@ def state_pspecs(state, axis: str = "sub"):
         if _is_subdomain_leaf(x, S):
             return P(axis, *([None] * (x.ndim - 1)))
         return P(*([None] * getattr(x, "ndim", 0)))
-    return jax.tree_util.tree_map(spec, state)
+    specs = jax.tree_util.tree_map(spec, state)
+    if _maybe_banded(getattr(state, "solver", None)):
+        import dataclasses
+        specs = dataclasses.replace(
+            specs, solver=_banded_pspecs(state.solver, axis))
+    return specs
 
 
 def shard_state(state, mesh: Mesh, axis: str = "sub"):
@@ -97,7 +120,14 @@ def substructure_pspecs(st, axis: str = "sub"):
             return P(axis, *([None] * (x.ndim - 1)))
         return P(*([None] * getattr(x, "ndim", 0)))
 
-    return jax.tree_util.tree_map(spec, st)
+    specs = jax.tree_util.tree_map(spec, st)
+    import dataclasses
+    for name in ("Kb", "Kiib"):
+        bs = getattr(st, name, None)
+        if _maybe_banded(bs):
+            specs = dataclasses.replace(
+                specs, **{name: _banded_pspecs(bs, axis)})
+    return specs
 
 
 def shard_substructure(st, mesh: Mesh, axis: str = "sub"):

@@ -122,7 +122,7 @@ def _solve_gevp_dense_np(A_neu: np.ndarray, B: np.ndarray, nu_max: int,
 
 def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
                        ncv: int = None, seed: int = 0,
-                       dtype=jnp.float64):
+                       dtype=jnp.float64, aux=None):
     """Shift-invert Lanczos for the pencil A v = lambda B v at sigma = 0 —
     the matrix-free analogue of the reference's ARPACK mode-3 loop
     (HPDDM_ARPACK.hpp:84-151), batched over subdomains, for local sizes
@@ -151,23 +151,29 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
     rng = np.random.default_rng(seed)
     v = jnp.asarray(rng.normal(size=(S, n, 1)), dtype=dtype)
 
-    # hoist the operators' captured arrays into jit *arguments*: a
+    # the operators' state must cross the jit boundary as *arguments*: a
     # closure-captured state (e.g. a banded factor, ~1 GB at 1M dofs)
     # would be embedded into the HLO as a literal, which the remote TPU
     # compile server chews on for tens of minutes (measured: >800 s for a
-    # trivial scan over a 1.1 GB constant vs 1.2 s with it as an argument)
-    fA, cA = jax.closure_convert(apply_Ainv, v)
-    fB, cB = jax.closure_convert(apply_B, v)
+    # trivial scan over a 1.1 GB constant vs 1.2 s with it as an
+    # argument; note jax.closure_convert does NOT hoist concrete arrays —
+    # only closed-over tracers — so callers with big states must pass
+    # ``aux`` and signatures apply(aux, x))
+    if aux is not None:
+        fA, fB = apply_Ainv, apply_B
+    else:
+        fA = lambda _unused, x: apply_Ainv(x)      # noqa: E731
+        fB = lambda _unused, x: apply_B(x)         # noqa: E731
 
     @jax.jit
-    def run(v, cA, cB):
-        nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, fB(v, *cB))))
+    def run(v, aux):
+        nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, fB(aux, v))))
         v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
 
         def step(carry, j):
             v, V, BV, OpV = carry
-            Bv = fB(v, *cB)
-            w = fA(Bv, *cA)                                # Op v_j
+            Bv = fB(aux, v)
+            w = fA(aux, Bv)                                # Op v_j
             V = jax.lax.dynamic_update_index_in_dim(V, v[:, :, 0], j, axis=2)
             BV = jax.lax.dynamic_update_index_in_dim(BV, Bv[:, :, 0], j,
                                                      axis=2)
@@ -179,7 +185,7 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
                 c = jnp.einsum("snj,sn->sj", BV, w[:, :, 0])
                 w = w - jnp.einsum("snj,sj->sn", V, c)[:, :, None]
             beta = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", w,
-                                               fB(w, *cB))))
+                                               fB(aux, w))))
             v = w / jnp.maximum(beta, 1e-30)[:, None, None]
             return (v, V, BV, OpV), None
 
@@ -188,7 +194,7 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
                                           jnp.arange(ncv))
         return V, BV, OpV
 
-    V, BV, OpV = run(v, cA, cB)
+    V, BV, OpV = run(v, aux)
 
     # small projected problem per subdomain: T = V^T_B (A^-1 B) V_B is
     # symmetric in the B-inner product; build it densely from the basis

@@ -505,8 +505,13 @@ class Schwarz:
                                       pad_identity=True)
         mask = (dec.ov_mask.astype(dec.d.dtype) * dec.d)
 
-        def apply_B(x):
-            return mask[:, :, None] * spmm(self.A, mask[:, :, None] * x)
+        # every operator state crosses the jit boundary through ``aux``:
+        # closure-captured arrays are embedded into the HLO as literals,
+        # which the remote TPU compile server chews on for minutes-to-
+        # forever at scale (PERF.md 2026-08-19)
+        def apply_B(aux, x):
+            A_p, msk = aux[0], aux[1]
+            return msk[:, :, None] * spmm(A_p, msk[:, :, None] * x)
 
         # inner preconditioner: the configured local solver on the
         # *assembled* matrix (spectrally close to the Neumann matrix).
@@ -532,8 +537,8 @@ class Schwarz:
                                     for m in neumann]))
         eps_reg = 1e-8 * diag_scale
 
-        def apply_Aneu(x):
-            return spmm(A_neu_p, x) + eps_reg * x
+        def apply_Aneu(A_neu, x):
+            return spmm(A_neu, x) + eps_reg * x
 
         if kind == "banded":
             # exact shift-invert: banded factor of the regularized Neumann
@@ -559,50 +564,49 @@ class Schwarz:
             Knb = build_banded_solver(regs, lboxes, self.n_max,
                                       dtype=dec.d.dtype)
 
-            def apply_Ainv(r):
-                x = Knb.solve(r)
-                return x + Knb.solve(r - apply_Aneu(x))
+            def apply_Ainv(aux, r):
+                A_p, msk, A_neu, solver = aux
+                x = solver.solve(r)
+                return x + solver.solve(r - apply_Aneu(A_neu, x))
 
-            ncv = opt.val("lanczos_ncv")
-            lam, V = solve_gevp_lanczos(
-                jax.jit(apply_Ainv), jax.jit(apply_B), dec.S, self.n_max,
-                nu_max_req, ncv=int(ncv) if ncv else None,
-                dtype=dec.d.dtype)
-            return lam, V
+            aux = (self.A, mask, A_neu_p, Knb)
+        else:
+            inner_its = 25
 
-        inner_its = 25
+            def apply_Ainv(aux, r):
+                # fixed-iteration preconditioned CG (jittable, batched) — a
+                # fori_loop so the Lanczos scan body traces one CG step
+                A_p, msk, A_neu, solver = aux
+                x = jnp.zeros_like(r)
+                res = r
+                z = solver.solve(res)
+                p = z
+                rz = jnp.einsum("snm,snm->s", res, z)
 
-        def apply_Ainv(r):
-            # fixed-iteration preconditioned CG (jittable, batched) — a
-            # fori_loop so the Lanczos scan body traces one CG step
-            x = jnp.zeros_like(r)
-            res = r
-            z = prec.solve(res)
-            p = z
-            rz = jnp.einsum("snm,snm->s", res, z)
+                def body(_, carry):
+                    x, res, p, rz = carry
+                    Ap = apply_Aneu(A_neu, p)
+                    pAp = jnp.einsum("snm,snm->s", p, Ap)
+                    alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, 1.0)
+                    x = x + alpha[:, None, None] * p
+                    res = res - alpha[:, None, None] * Ap
+                    z = solver.solve(res)
+                    rz_new = jnp.einsum("snm,snm->s", res, z)
+                    beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+                    p = z + beta[:, None, None] * p
+                    return x, res, p, rz_new
 
-            def body(_, carry):
-                x, res, p, rz = carry
-                Ap = apply_Aneu(p)
-                pAp = jnp.einsum("snm,snm->s", p, Ap)
-                alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, 1.0)
-                x = x + alpha[:, None, None] * p
-                res = res - alpha[:, None, None] * Ap
-                z = prec.solve(res)
-                rz_new = jnp.einsum("snm,snm->s", res, z)
-                beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
-                p = z + beta[:, None, None] * p
-                return x, res, p, rz_new
+                x, _, _, _ = jax.lax.fori_loop(0, inner_its, body,
+                                               (x, res, p, rz))
+                return x
 
-            x, _, _, _ = jax.lax.fori_loop(0, inner_its, body,
-                                           (x, res, p, rz))
-            return x
+            aux = (self.A, mask, A_neu_p, prec)
 
         ncv = opt.val("lanczos_ncv")
         lam, V = solve_gevp_lanczos(
-            jax.jit(apply_Ainv), jax.jit(apply_B), dec.S, self.n_max,
+            apply_Ainv, apply_B, dec.S, self.n_max,
             nu_max_req, ncv=int(ncv) if ncv else None,
-            dtype=dec.d.dtype)
+            dtype=dec.d.dtype, aux=aux)
         return lam, V
 
     def build(self, dtype=None) -> SchwarzState:

@@ -101,3 +101,36 @@ def test_banded_with_mfree_coarse():
     assert np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct) < 1e-6
     assert sub.state.G is None          # coarse basis never materialized
     assert sub.state.K_pinv.shape[1] == 1   # dense factors are dummies
+
+
+def test_sharded_banded_matches_batched():
+    """banded local mode under shard_map: the (wy, S, ...) factor layout
+    needs its own pspecs (subdomain axis = 1); solutions must match the
+    batched run."""
+    import jax
+    from hpddm_tpu.parallel.mesh import (make_mesh, shard_substructure,
+                                         sharded_bdd_solve,
+                                         sharded_feti_solve)
+    S, n_dev = 8, 4
+    gen = nonoverlap.generate(S, 24, 24)
+    sub = _build(gen, "banded")
+    st = sub.state
+    f = _pack_f(gen, sub)
+    ref_f = feti_solve(st, f, tol=1e-9, max_it=200)
+    ref_b = bdd_solve(st, f, tol=1e-9, max_it=200)
+
+    mesh = make_mesh(n_dev)
+    st_sh = shard_substructure(st, mesh)
+    # the big banded factors must actually be sharded, not replicated
+    shd = st_sh.Kb.Dinv.sharding.spec
+    assert shd[1] == "sub", shd
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("sub", None, None)))
+    res_f = sharded_feti_solve(st_sh, f_sh, mesh, tol=1e-9, max_it=200)
+    assert abs(int(res_f.iterations) - int(ref_f.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res_f.u), np.asarray(ref_f.u),
+                               atol=1e-8)
+    res_b = sharded_bdd_solve(st_sh, f_sh, mesh, tol=1e-9, max_it=200)
+    assert abs(int(res_b.iterations) - int(ref_b.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res_b.u), np.asarray(ref_b.u),
+                               atol=1e-8)
