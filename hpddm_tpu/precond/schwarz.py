@@ -547,7 +547,6 @@ class Schwarz:
             # the banded sweep 25x per Lanczos step
             import scipy.sparse as sp
             from hpddm_tpu.ops.banded_solve import build_banded_solver
-            boxes, _, _ = self._grid_geometry
 
             class _W:
                 def __init__(self, A):
@@ -560,7 +559,8 @@ class Schwarz:
                 m.scipy(expand=True).astype(np.float64)
                 + eps_reg * sp.identity(m.n)))
                 for m in self._permuted(neumann)]
-            lboxes = [(0, i1 - i0, 0, j1 - j0) for (i0, i1, j0, j1) in boxes]
+            lboxes = [(0, i1 - i0, 0, j1 - j0)
+                      for (i0, i1, j0, j1) in self._banded_boxes()]
             Knb = build_banded_solver(regs, lboxes, self.n_max,
                                       dtype=dec.d.dtype)
 
@@ -650,20 +650,16 @@ class Schwarz:
             # solves far beyond the dense O(n^2) cap, heterogeneous-exact
             # where the DST solver is only spectrally close
             from hpddm_tpu.ops.banded_solve import build_banded_solver
-            geo = getattr(self, "_grid_geometry", None)
-            if geo is None:
-                raise ValueError("local_solver=banded requires "
-                                 "set_grid_geometry(boxes, Nx, Ny)")
             if self.dec.renumbered:
                 raise ValueError("local_solver=banded requires the "
                                  "grid-ordered (non-renumbered) layout")
-            boxes, _, _ = geo
+            lboxes = self._banded_boxes()
             dt = dtype if dtype is not None else self.A.values.dtype
             src = self.mats
             if self.optimized_mats is not None and \
                     variant in ("oras", "soras", "osm"):
                 src = self.optimized_mats
-            solver = build_banded_solver(src, boxes, self.n_max, dtype=dt)
+            solver = build_banded_solver(src, lboxes, self.n_max, dtype=dt)
             coarse = None
             correction = opt.val("schwarz_coarse_correction", prefix=pfx)
             if correction is not None:
@@ -738,6 +734,30 @@ class Schwarz:
         numbering (the driver's ``A.exchange<true>(f, mu)``)."""
         fp = self.dec.permute(jnp.asarray(f))
         return self.dec.unpermute(scaled_exchange(self.dec, fp))
+
+    def set_banded_shapes(self, shapes) -> None:
+        """Declare the block-tridiagonal structure of the local matrices
+        for -hpddm_local_solver banded when the 2D grid geometry does not
+        apply: ``shapes[s] = (rows, cols)`` with local index =
+        row*cols + col and inter-row coupling diagonal. For 3D boxes
+        (models/diffusion3d: plane-major local ordering) pass
+        rows = wz and cols = wx*wy — the 7-point plane-to-plane coupling
+        is diagonal, so the plane-blocked LU applies unchanged (factor
+        memory (S, wz, (wx*wy)^2): practical up to ~32^3 locals)."""
+        self._banded_shapes = [(int(r), int(c)) for (r, c) in shapes]
+
+    def _banded_boxes(self):
+        """(0, cols, 0, rows) boxes for build_banded_solver, from
+        set_banded_shapes or the 2D grid geometry."""
+        shapes = getattr(self, "_banded_shapes", None)
+        if shapes is not None:
+            return [(0, c, 0, r) for (r, c) in shapes]
+        geo = getattr(self, "_grid_geometry", None)
+        if geo is None:
+            raise ValueError("local_solver=banded requires "
+                             "set_grid_geometry(boxes, Nx, Ny) or "
+                             "set_banded_shapes(shapes)")
+        return geo[0]
 
     def set_grid_geometry(self, boxes, Nx: int, Ny: int) -> None:
         """Attach grid geometry (the generator's subdomain boxes) enabling

@@ -104,3 +104,31 @@ def test_banded_two_level_geneo():
         assert float(nr[0] / nb[0]) < 1e-6
         its[nu] = int(res.iterations)
     assert its[8] < its[0], its
+
+
+def test_banded_3d_plane_blocked():
+    """3D boxes: plane-major local ordering makes the 7-point operator
+    block-tridiagonal in z-planes — banded local solves must match the
+    batched dense inverses (set_banded_shapes(rows=wz, cols=wx*wy))."""
+    from hpddm_tpu.models import diffusion3d
+    S, Nx = 8, 16
+    gen = diffusion3d.generate_uniform(S, Nx, Nx, Nx, overlap=1)
+    shapes = [(k1 - k0, (i1 - i0) * (j1 - j0))
+              for (i0, i1, j0, j1, k0, k1) in gen.boxes]
+    its = {}
+    for kind in ("inv", "banded"):
+        opt = Options(tol=1e-8, max_it=200, local_solver=kind)
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        if kind == "banded":
+            sch.set_banded_shapes(shapes)
+        f = np.zeros((S, sch.n_max, 1))
+        for s in range(S):
+            f[s, : gen.n_loc[s]] = gen.f[s]
+        f = sch.exchange_rhs(jnp.asarray(f))
+        state = sch.build()
+        res = solve(state, f, opt=opt)
+        nb, nr = compute_residual(state, res.x, f)
+        assert float(nr[0] / nb[0]) < 1e-6
+        its[kind] = int(res.iterations)
+    assert its["banded"] == its["inv"], its

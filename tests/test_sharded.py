@@ -98,3 +98,31 @@ def test_sharded_two_level():
     assert int(res_sh.iterations) == int(res_ref.iterations)
     nb, nr = compute_residual(state, jnp.asarray(np.asarray(res_sh.x)), f)
     assert float(nr[0] / nb[0]) < 1e-2
+
+
+def test_sharded_banded_local_solver():
+    """Schwarz with -hpddm_local_solver banded under shard_map: the
+    (wy, S, ...) factor pspecs must shard (not replicate) and match the
+    batched iterates."""
+    S, n_dev, Nx = 4, 4, 48
+    gen = diffusion2d.generate_uniform(S, Nx, Nx, overlap=1)
+    opt = Options(tol=1e-8, max_it=200, local_solver="banded")
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.set_grid_geometry(gen.boxes, Nx, Nx)
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = sch.exchange_rhs(jnp.asarray(f))
+    state = sch.build()
+    res_ref = solve(state, f, opt=opt)
+
+    mesh = make_mesh(n_dev)
+    state_sh = shard_state(state, mesh)
+    assert state_sh.solver.Dinv.sharding.spec[1] == "sub"
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("sub", None, None)))
+    res_sh = sharded_solve(state_sh, f_sh, opt, mesh)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
+                               atol=1e-10)
