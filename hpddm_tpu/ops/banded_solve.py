@@ -18,16 +18,23 @@ sweeps of batched (wx, wx) x (wx, mu) matmuls — MXU work, exact for
 close. Factorization runs on the host in float64 (TPU has no f64; see
 CLAUDE.md) and is rounded to the device dtype.
 
-Memory: (S, wy, wx, wx) inverse row factors — 66k-dof subdomains
-(256 x 256) at S=16 cost ~1 GB in f32 where dense inverses would need
-280 GB. Host setup is S*wy batched (wx, wx) inversions; practical up to
-wx ~ 512.
+``rows_per_block=r`` groups r grid rows per elimination block: the
+inter-block coupling stays confined to one row of lanes (the corner), so
+the recursion only corrects the top-left (wx, wx) corner with the
+previous factor's bottom-right corner. The sweeps shrink to wy/r steps
+of (r*wx)-wide matmuls — fewer sequential latency-bound scan steps,
+more MXU work per step — at r x the factor memory.
+
+Memory: (S, wy/r, r*wx, r*wx) inverse factors — 66k-dof subdomains
+(256 x 256, r=1) at S=16 cost ~1 GB in f32 where dense inverses would
+need 280 GB. Host setup is S*wy/r batched (r*wx, r*wx) inversions;
+practical up to r*wx ~ 1024.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,57 +46,65 @@ from jax import lax
 @dataclasses.dataclass(frozen=True)
 class BandedSolver:
     """Per-subdomain block-tridiagonal LU in padded grid layout."""
-    Dinv: jax.Array       # (wy_max, S, wx_max, wx_max) inverse row factors
-    cl: jax.Array         # (wy_max, S, wx_max) lower coupling diag(A_{j,j-1})
-    cu: jax.Array         # (wy_max, S, wx_max) upper coupling diag(A_{j-1,j})
-    idx_fwd: jax.Array    # (S, wy_max*wx_max) local flat row per grid slot
-    msk_fwd: jax.Array    # (S, wy_max*wx_max, 1) 0/1
+    Dinv: jax.Array       # (nbk, S, L, L) inverse block factors
+    cl: jax.Array         # (nbk, S, cw) lower corner coupling diag
+    cu: jax.Array         # (nbk, S, cw) upper corner coupling diag
+    idx_fwd: jax.Array    # (S, nbk*L) local flat row per grid slot
+    msk_fwd: jax.Array    # (S, nbk*L, 1) 0/1
     idx_inv: jax.Array    # (S, n_max) grid slot per local flat row
     msk_inv: jax.Array    # (S, n_max, 1) 0/1
-    wy_max: int = dataclasses.field(metadata=dict(static=True))
-    wx_max: int = dataclasses.field(metadata=dict(static=True))
+    wy_max: int = dataclasses.field(metadata=dict(static=True))  # = nbk
+    wx_max: int = dataclasses.field(metadata=dict(static=True))  # = L
     n_max: int = dataclasses.field(metadata=dict(static=True))
     S: int = dataclasses.field(metadata=dict(static=True))
+    cw: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def solve(self, b: jax.Array) -> jax.Array:
         """b: (S, n_max, mu) -> A^-1 b (exact block-tridiagonal solve)."""
         S, _, mu = b.shape
+        L = self.wx_max
+        cw = self.cw or L
         g = jnp.take_along_axis(b, self.idx_fwd[:, :, None], axis=1)
-        g = (g * self.msk_fwd).reshape(S, self.wy_max, self.wx_max, mu)
-        g = jnp.moveaxis(g, 1, 0)                   # (wy, S, wx, mu)
+        g = (g * self.msk_fwd).reshape(S, self.wy_max, L, mu)
+        g = jnp.moveaxis(g, 1, 0)                   # (nbk, S, L, mu)
 
-        # forward sweep: u_j = D_j^-1 (b_j - cl_j * u_{j-1})
+        # forward: u_j = D_j^-1 (b_j - corner(cl_j * u_{j-1}[last row]))
         def fwd(u_prev, inp):
             Dinv_j, cl_j, b_j = inp
-            z = b_j - cl_j[:, :, None] * u_prev
+            head = b_j[:, :cw] - cl_j[:, :, None] * u_prev[:, L - cw:]
+            z = jnp.concatenate([head, b_j[:, cw:]], axis=1) \
+                if cw < L else head
             u = jnp.einsum("sij,sjm->sim", Dinv_j, z)
             return u, u
 
-        u0 = jnp.zeros((S, self.wx_max, mu), b.dtype)
+        u0 = jnp.zeros((S, L, mu), b.dtype)
         _, U = lax.scan(fwd, u0, (self.Dinv, self.cl, g))
 
-        # backward sweep: x_j = u_j - D_j^-1 (cu_{j+1} * x_{j+1})
-        # iterate j = wy-1 .. 0 with cu shifted by one row
+        # backward: x_j = u_j - D_j^-1 corner'(cu_{j+1} * x_{j+1}[first row])
         cu_next = jnp.concatenate(
             [self.cu[1:], jnp.zeros((1,) + self.cu.shape[1:], self.cu.dtype)],
             axis=0)
 
         def bwd(x_next, inp):
             Dinv_j, cu_j1, u_j = inp
-            x = u_j - jnp.einsum("sij,sjm->sim", Dinv_j,
-                                 cu_j1[:, :, None] * x_next)
+            tail = cu_j1[:, :, None] * x_next[:, :cw]
+            t = jnp.concatenate(
+                [jnp.zeros((S, L - cw, mu), u_j.dtype), tail], axis=1) \
+                if cw < L else tail
+            x = u_j - jnp.einsum("sij,sjm->sim", Dinv_j, t)
             return x, x
 
         _, X = lax.scan(bwd, u0, (self.Dinv, cu_next, U), reverse=True)
 
-        out = jnp.moveaxis(X, 0, 1).reshape(S, self.wy_max * self.wx_max, mu)
+        out = jnp.moveaxis(X, 0, 1).reshape(S, self.wy_max * L, mu)
         out = jnp.take_along_axis(out, self.idx_inv[:, :, None], axis=1)
         return out * self.msk_inv
 
 
 def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int]],
                         n_max: int, dtype=jnp.float32,
-                        slot_maps: Optional[Sequence] = None) -> BandedSolver:
+                        slot_maps: Optional[Sequence] = None,
+                        rows_per_block: int = 1) -> BandedSolver:
     """Factor local matrices given in row-major grid ordering.
 
     mats: MatrixCSR (or scipy) local matrices, local index = iy*wx + ix;
@@ -99,21 +114,26 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     slot_maps (optional): per-subdomain int array mapping local row ->
     grid slot iy*wx + ix, for node sets that do not fill their bounding
     box (e.g. a missing corner): the matrix is embedded into the full box
-    with identity rows on the holes — still block-tridiagonal."""
+    with identity rows on the holes — still block-tridiagonal.
+
+    rows_per_block: grid rows eliminated per block (see module doc)."""
+    import scipy.sparse as sp
     S = len(boxes)
-    wy_max = max(j1 - j0 for (_, _, j0, j1) in boxes)
+    r = max(int(rows_per_block), 1)
+    wy_hi = max(j1 - j0 for (_, _, j0, j1) in boxes)
     wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
-    Dinv = np.zeros((wy_max, S, wx_max, wx_max))
-    for j in range(wy_max):
-        Dinv[j, :, np.arange(wx_max), np.arange(wx_max)] = 1.0
-    cl = np.zeros((wy_max, S, wx_max))
-    cu = np.zeros((wy_max, S, wx_max))
-    idx_fwd = np.zeros((S, wy_max * wx_max), dtype=np.int32)
-    msk_fwd = np.zeros((S, wy_max * wx_max, 1))
+    nbk = -(-wy_hi // r)                 # ceil: block rows
+    L = r * wx_max                       # lanes per block
+    Dinv = np.zeros((nbk, S, L, L))
+    for j in range(nbk):
+        Dinv[j, :, np.arange(L), np.arange(L)] = 1.0
+    cl = np.zeros((nbk, S, wx_max))
+    cu = np.zeros((nbk, S, wx_max))
+    idx_fwd = np.zeros((S, nbk * L), dtype=np.int32)
+    msk_fwd = np.zeros((S, nbk * L, 1))
     idx_inv = np.zeros((S, n_max), dtype=np.int32)
     msk_inv = np.zeros((S, n_max, 1))
 
-    import scipy.sparse as sp
     for s, (i0, i1, j0, j1) in enumerate(boxes):
         wy, wx = j1 - j0, i1 - i0
         K = mats[s].scipy(expand=True) if hasattr(mats[s], "scipy") \
@@ -144,21 +164,43 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         same = rj != cj
         if np.any(same & (coo.row % wx != coo.col % wx) & (coo.data != 0)):
             raise ValueError("inter-row coupling is not diagonal")
-        # extract blocks in f64
+        # extract blocks in f64, r grid rows per elimination block
         Kd = K.astype(np.float64)
+
+        def row_slice(gy):
+            return slice(gy * wx, (gy + 1) * wx)
+
+        def coupling(gy):
+            """(cl, cu) diagonals between grid rows gy-1 and gy."""
+            a = np.asarray(Kd[row_slice(gy), row_slice(gy - 1)].todense())
+            b_ = np.asarray(Kd[row_slice(gy - 1), row_slice(gy)].todense())
+            return a.diagonal().copy(), b_.diagonal().copy()
+
         prev = None
-        for j in range(wy):
-            sl = slice(j * wx, (j + 1) * wx)
-            Ajj = np.asarray(Kd[sl, sl].todense())
-            if j > 0:
-                slm = slice((j - 1) * wx, j * wx)
-                clj = np.asarray(Kd[sl, slm].todense()).diagonal().copy()
-                cuj = np.asarray(Kd[slm, sl].todense()).diagonal().copy()
-                cl[j, s, :wx] = clj
-                cu[j, s, :wx] = cuj
-                Ajj = Ajj - (clj[:, None] * prev * cuj[None, :])
-            prev = np.linalg.inv(Ajj)
-            Dinv[j, s, :wx, :wx] = prev
+        for jb in range(nbk):
+            A = np.eye(L)
+            for q in range(r):
+                gy = jb * r + q
+                if gy >= wy:
+                    break
+                o = q * wx_max
+                A[o: o + wx, o: o + wx] = \
+                    np.asarray(Kd[row_slice(gy), row_slice(gy)].todense())
+                if q > 0 and gy > 0:
+                    om = (q - 1) * wx_max
+                    clq, cuq = coupling(gy)
+                    A[o + np.arange(wx), om + np.arange(wx)] = clq
+                    A[om + np.arange(wx), o + np.arange(wx)] = cuq
+            gy0 = jb * r
+            if jb > 0 and gy0 < wy:
+                clj, cuj = coupling(gy0)
+                cl[jb, s, :wx] = clj
+                cu[jb, s, :wx] = cuj
+                lo = (r - 1) * wx_max
+                corner = prev[lo: lo + wx, lo: lo + wx]
+                A[:wx, :wx] -= clj[:, None] * corner * cuj[None, :]
+            prev = np.linalg.inv(A)
+            Dinv[jb, s] = prev
         eff = np.arange(n) if slots is None else slots
         canvas = (eff // wx) * wx_max + (eff % wx)
         idx_fwd[s, canvas] = np.arange(len(eff))
@@ -173,4 +215,4 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         msk_fwd=jnp.asarray(msk_fwd, dtype=dtype),
         idx_inv=jnp.asarray(idx_inv),
         msk_inv=jnp.asarray(msk_inv, dtype=dtype),
-        wy_max=wy_max, wx_max=wx_max, n_max=n_max, S=S)
+        wy_max=nbk, wx_max=L, n_max=n_max, S=S, cw=wx_max)

@@ -125,6 +125,10 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                      "heterogeneous subdomains; banded = exact "
                      "block-tridiagonal LU for grid subdomains, O(n*wx) "
                      "factor memory)"),
+    "banded_block_rows": ("integer", 1, None,
+                          "Grid rows per elimination block of the banded "
+                          "local solver (fewer scan steps, r x factor "
+                          "memory)"),
     "local_cheby_steps": ("integer", 16, None,
                           "Chebyshev steps per inexact local solve"),
     "local_cheby_power_its": ("integer", 30, None,

@@ -561,8 +561,9 @@ class Schwarz:
                 for m in self._permuted(neumann)]
             lboxes = [(0, i1 - i0, 0, j1 - j0)
                       for (i0, i1, j0, j1) in self._banded_boxes()]
-            Knb = build_banded_solver(regs, lboxes, self.n_max,
-                                      dtype=dec.d.dtype)
+            Knb = build_banded_solver(
+                regs, lboxes, self.n_max, dtype=dec.d.dtype,
+                rows_per_block=int(opt.val("banded_block_rows")))
 
             def apply_Ainv(aux, r):
                 A_p, msk, A_neu, solver = aux
@@ -659,7 +660,9 @@ class Schwarz:
             if self.optimized_mats is not None and \
                     variant in ("oras", "soras", "osm"):
                 src = self.optimized_mats
-            solver = build_banded_solver(src, lboxes, self.n_max, dtype=dt)
+            solver = build_banded_solver(
+                src, lboxes, self.n_max, dtype=dt,
+                rows_per_block=int(opt.val("banded_block_rows", prefix=pfx)))
             coarse = None
             correction = opt.val("schwarz_coarse_correction", prefix=pfx)
             if correction is not None:

@@ -79,9 +79,12 @@ def solve_refined_device(state, f, opt=None, tol: float = 1.0e-12,
         rel = jnp.sqrt(jnp.sum(d * rh * rh)) / jnp.maximum(nb, 1e-30)
         return rh, rel
 
+    # state crosses the jit boundary as an ARGUMENT: closure-captured
+    # states are embedded as HLO literals, unbounded remote compile at
+    # GB scale (PERF.md 2026-08-19)
     @jax.jit
-    def correct(xh, xl, rh):
-        res = _solve_core(state, rh, None, opt, axis_name)
+    def correct(st, xh, xl, rh):
+        res = _solve_core(st, rh, None, opt, axis_name)
         xh, xl = dw_add((xh, xl), dw_from(res.x))
         return xh, xl, res.iterations
 
@@ -96,7 +99,7 @@ def solve_refined_device(state, f, opt=None, tol: float = 1.0e-12,
             print(f"refine pass {p}: dw weighted rel res = {rel:.3e}")
         if rel <= tol:
             break
-        xh, xl, its = correct(xh, xl, rh)
+        xh, xl, its = correct(state, xh, xl, rh)
         inner_its.append(int(np.max(np.asarray(its))))
     x = (np.asarray(xh, dtype=np.float64)
          + np.asarray(xl, dtype=np.float64))

@@ -132,3 +132,26 @@ def test_banded_3d_plane_blocked():
         assert float(nr[0] / nb[0]) < 1e-6
         its[kind] = int(res.iterations)
     assert its["banded"] == its["inv"], its
+
+
+def test_banded_block_rows_end_to_end():
+    """rows_per_block > 1 (corner-coupled blocks): identical iterates."""
+    gen = _hetero_gen(Nx=48, Ny=48)
+    S = len(gen.mats)
+    its = {}
+    for r in (1, 3):
+        opt = Options(tol=1e-8, max_it=200, local_solver="banded",
+                      banded_block_rows=r)
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        sch.set_grid_geometry(gen.boxes, 48, 48)
+        f = np.zeros((S, sch.n_max, 1))
+        for s in range(S):
+            f[s, : gen.n_loc[s]] = gen.f[s]
+        f = sch.exchange_rhs(jnp.asarray(f))
+        state = sch.build()
+        res = solve(state, f, opt=opt)
+        nb, nr = compute_residual(state, res.x, f)
+        assert float(nr[0] / nb[0]) < 1e-6
+        its[r] = int(res.iterations)
+    assert its[3] == its[1], its
