@@ -55,6 +55,9 @@ def test_driver_gcrodr_sequence():
     ["examples/elasticity.py", "-N", "4", "-Nx", "8", "-dim", "3",
      "-hpddm_schwarz_coarse_correction", "deflated",
      "-hpddm_geneo_nu", "8"],
+    ["examples/stokes.py", "-N", "4", "-Nc", "24",
+     "-hpddm_schwarz_coarse_correction", "deflated",
+     "-hpddm_geneo_nu", "8"],
 ])
 def test_model_drivers(args):
     r = _run(args)

@@ -30,8 +30,13 @@ def main():
 
     args = sys.argv[1:]
     local = "dst_cheby"
-    if args and not args[-1].isdigit():
-        local = args.pop()
+    block_rows = 1
+    while args and not args[-1].isdigit():
+        tok = args.pop()
+        if tok.startswith("r") and tok[1:].isdigit():
+            block_rows = int(tok[1:])
+        else:
+            local = tok
     argv = [int(a) for a in args[:5]]
     S, Nx, Ny, nu, steps = (argv + [16, 1024, 1024, 16, 32][len(argv):])
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -52,13 +57,14 @@ def main():
     mats, f_list, neumann, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
     t_gen = time.perf_counter() - t0
     opt = Options(tol=tol, local_solver=local,
-                  local_cheby_steps=steps,
+                  local_cheby_steps=steps, banded_block_rows=block_rows,
                   schwarz_coarse_correction="deflated", geneo_nu=nu)
     sch = Schwarz(mats, gen.neighbors, gen.mappings, d=gen.d,
                   options=opt)
     sch.set_grid_geometry(gen.boxes, Nx, Ny)
     print(f"backend={jax.default_backend()} S={S} grid={Nx}x{Ny} "
-          f"n_loc~{gen.n_loc[0]} nu={nu} local={local} cheby_steps={steps} "
+          f"n_loc~{gen.n_loc[0]} nu={nu} local={local}(r={block_rows}) "
+          f"cheby_steps={steps} "
           f"gen={t_gen:.1f}s", flush=True)
 
     t0 = time.perf_counter()
