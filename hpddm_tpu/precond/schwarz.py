@@ -449,6 +449,15 @@ class Schwarz:
         nu_req = np.full(S, nu, dtype=np.int64) if np.isscalar(nu) \
             else np.asarray(nu, dtype=np.int64)
         nu_max_req = int(max(1, nu_req.max()))
+        # -hpddm_geneo_estimate_nu (HPDDM_schwarz.hpp:686-703): size the
+        # eigensolve by the number of pencil eigenvalues below the
+        # threshold (the reference's factorization-inertia estimate; the
+        # dense path computes the full spectrum, so the count is exact)
+        threshold_opt = opt.val("geneo_threshold", prefix=pfx)
+        estimate = int(opt.val("geneo_estimate_nu", prefix=pfx) or 0)
+        if estimate and threshold_opt is not None:
+            cap = estimate if estimate > 1 else max(4 * nu_max_req, 16)
+            nu_max_req = int(min(self.n_max, max(nu_max_req, cap)))
 
         if method == "auto":
             method = "lanczos" if (self.n_max > 6000 or
@@ -466,6 +475,13 @@ class Schwarz:
         lam_np = np.array(lam)
         V_np = np.array(V)  # writable: force-uniformity may pad columns
         threshold = opt.val("geneo_threshold", prefix=pfx)
+        if estimate and threshold is not None:
+            est_counts = np.clip((lam_np < float(threshold)).sum(axis=1),
+                                 1, nu_max_req)
+            nu_req = est_counts.astype(np.int64)
+            if int(opt.val("verbosity", 0)) > 0:
+                print(f"GenEO estimate_nu: {est_counts.tolist()} "
+                      f"eigenvalues below {float(threshold):g}")
         nu_loc, V_np = select_nu(
             lam_np, nu_req,
             threshold=float(threshold) if threshold is not None else None,

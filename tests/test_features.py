@@ -132,3 +132,30 @@ def test_bfloat16_coarse():
     nb, nr = compute_residual(state, res.x, f)
     assert int(res.iterations) <= 60
     assert float(nr[0] / nb[0]) <= 1e-2
+
+
+def test_geneo_estimate_nu():
+    """-hpddm_geneo_estimate_nu sizes the coarse space by the threshold
+    count (HPDDM_schwarz.hpp:686-703) — nu can exceed geneo_nu."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+
+    S = 4
+    gen = diffusion2d.generate(S, 40, 40, overlap=1, with_neumann=True)
+    opt = Options(schwarz_coarse_correction="deflated", geneo_nu=2,
+                  geneo_threshold=0.4, geneo_estimate_nu=1)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    nu_est = sch.solve_gevp(gen.neumann)
+    opt2 = Options(schwarz_coarse_correction="deflated", geneo_nu=2,
+                   geneo_threshold=0.4)
+    sch2 = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                   options=opt2)
+    nu_plain = sch2.solve_gevp(gen.neumann)
+    # without the estimate, geneo_nu caps the count at 2; with it, the
+    # threshold population is taken in full
+    assert int(np.max(nu_plain)) <= 2
+    assert int(np.max(nu_est)) > 2, (nu_est, nu_plain)
