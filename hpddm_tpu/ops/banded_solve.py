@@ -176,9 +176,8 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
             b_ = np.asarray(Kd[row_slice(gy - 1), row_slice(gy)].todense())
             return a.diagonal().copy(), b_.diagonal().copy()
 
-        prev = None
         for jb in range(nbk):
-            A = np.eye(L)
+            A = Dinv[jb, s]                # preset identity; fill in place
             for q in range(r):
                 gy = jb * r + q
                 if gy >= wy:
@@ -196,11 +195,6 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
                 clj, cuj = coupling(gy0)
                 cl[jb, s, :wx] = clj
                 cu[jb, s, :wx] = cuj
-                lo = (r - 1) * wx_max
-                corner = prev[lo: lo + wx, lo: lo + wx]
-                A[:wx, :wx] -= clj[:, None] * corner * cuj[None, :]
-            prev = np.linalg.inv(A)
-            Dinv[jb, s] = prev
         eff = np.arange(n) if slots is None else slots
         canvas = (eff // wx) * wx_max + (eff % wx)
         idx_fwd[s, canvas] = np.arange(len(eff))
@@ -208,11 +202,30 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         idx_inv[s, : len(eff)] = canvas
         msk_inv[s, : len(eff), 0] = 1.0
 
+    # Schur recursion with the inversions *batched over subdomains*
+    # (threaded LAPACK: ~4x faster setup than per-subdomain loops);
+    # cl/cu are zero beyond each subdomain's true wx, so the batched
+    # corner correction is a no-op on padded lanes
+    lo = L - wx_max
+    prev = np.linalg.inv(Dinv[0])
+    Dinv[0] = prev
+    for jb in range(1, nbk):
+        corner = prev[:, lo:, lo:]
+        Dinv[jb, :, :wx_max, :wx_max] -= \
+            cl[jb][:, :, None] * corner * cu[jb][:, None, :]
+        prev = np.linalg.inv(Dinv[jb])
+        Dinv[jb] = prev
+
+    # convert with numpy first: jnp.asarray's dtype-converting path is
+    # an order of magnitude slower than astype + same-dtype ingestion
+    # (measured 24 s vs ~2 s on the 2.2 GB flagship factor)
+    npdt = np.dtype(dtype)
     return BandedSolver(
-        Dinv=jnp.asarray(Dinv, dtype=dtype),
-        cl=jnp.asarray(cl, dtype=dtype), cu=jnp.asarray(cu, dtype=dtype),
+        Dinv=jnp.asarray(Dinv.astype(npdt, copy=False)),
+        cl=jnp.asarray(cl.astype(npdt, copy=False)),
+        cu=jnp.asarray(cu.astype(npdt, copy=False)),
         idx_fwd=jnp.asarray(idx_fwd),
-        msk_fwd=jnp.asarray(msk_fwd, dtype=dtype),
+        msk_fwd=jnp.asarray(msk_fwd.astype(npdt, copy=False)),
         idx_inv=jnp.asarray(idx_inv),
-        msk_inv=jnp.asarray(msk_inv, dtype=dtype),
+        msk_inv=jnp.asarray(msk_inv.astype(npdt, copy=False)),
         wy_max=nbk, wx_max=L, n_max=n_max, S=S, cw=wx_max)
