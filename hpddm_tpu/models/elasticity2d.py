@@ -50,9 +50,15 @@ def q1_stiffness(E: float, nu: float, h: float) -> np.ndarray:
 def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
              contrast: float = 1.0e3, nu: float = 0.3,
              overlap: int = 1, checker: int = 4,
-             rng: Optional[np.random.Generator] = None):
+             rng: Optional[np.random.Generator] = None,
+             owner_fn=None):
     """Assemble + decompose. Returns (FromFileGenerated, neumann_mats,
-    rigid_body_modes)."""
+    rigid_body_modes).
+
+    ``owner_fn(node_x_index) -> subdomain`` overrides the default RCM
+    partition with a geometric one (x-slabs keep the local node sets
+    rectangular, enabling -hpddm_local_solver banded with dense
+    coupling blocks)."""
     if rng is None:
         rng = np.random.default_rng(11)
     h = 1.0 / max(Nx - 1, 1)
@@ -92,8 +98,12 @@ def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
     f_global[1::2] = -1.0          # downward load
     f_global[clamped] = 0.0
 
+    owner = None
+    if owner_fn is not None:
+        node_i = np.arange(n_nodes) % Nx
+        owner = np.asarray([owner_fn(int(xi)) for xi in node_i]).repeat(2)
     gen = fromfile.decompose(MatrixCSR(A), n_subdomains, overlap=overlap,
-                             f_global=f_global)
+                             f_global=f_global, owner=owner)
 
     # unassembled Neumann matrices: sum of element matrices whose dofs all
     # live in the subdomain (GenEO's MatNeumann analogue)

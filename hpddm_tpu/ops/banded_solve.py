@@ -13,6 +13,10 @@ blocks, so block LU needs only the wy dense Schur-complement row factors
     D_1 = A_11,   D_j = A_jj - diag(cl_j) D_{j-1}^{-1} diag(cu_j)
 
 (O(n * wx) memory instead of O(n^2)) and the solve is two lax.scan
+sweeps. Non-diagonal adjacent-row coupling (Q1/H8 *elasticity* node
+blocks, 9-point corner stencils) is auto-detected and handled with
+dense (wx, wx) coupling blocks — same recursion with matmul couplings,
+3x the coupling storage. The solve stays two lax.scan
 sweeps of batched (wx, wx) x (wx, mu) matmuls — MXU work, exact for
 *heterogeneous* coefficients where the DST solver is only spectrally
 close. Factorization runs on the host in float64 (TPU has no f64; see
@@ -47,8 +51,9 @@ from jax import lax
 class BandedSolver:
     """Per-subdomain block-tridiagonal LU in padded grid layout."""
     Dinv: jax.Array       # (nbk, S, L, L) inverse block factors
-    cl: jax.Array         # (nbk, S, cw) lower corner coupling diag
-    cu: jax.Array         # (nbk, S, cw) upper corner coupling diag
+    cl: jax.Array         # (nbk, S, cw) lower corner coupling diag, or
+    #                       (nbk, S, cw, cw) dense coupling blocks
+    cu: jax.Array         # like cl (upper)
     idx_fwd: jax.Array    # (S, nbk*L) local flat row per grid slot
     msk_fwd: jax.Array    # (S, nbk*L, 1) 0/1
     idx_inv: jax.Array    # (S, n_max) grid slot per local flat row
@@ -58,6 +63,12 @@ class BandedSolver:
     n_max: int = dataclasses.field(metadata=dict(static=True))
     S: int = dataclasses.field(metadata=dict(static=True))
     cw: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    def _couple(self, C, v):
+        """Apply a coupling factor: diagonal (cw,) * v or dense (cw,cw) @ v."""
+        if C.ndim == 3:                              # (S, cw, cw) dense
+            return jnp.einsum("sij,sjm->sim", C, v)
+        return C[:, :, None] * v
 
     def solve(self, b: jax.Array) -> jax.Array:
         """b: (S, n_max, mu) -> A^-1 b (exact block-tridiagonal solve)."""
@@ -71,7 +82,7 @@ class BandedSolver:
         # forward: u_j = D_j^-1 (b_j - corner(cl_j * u_{j-1}[last row]))
         def fwd(u_prev, inp):
             Dinv_j, cl_j, b_j = inp
-            head = b_j[:, :cw] - cl_j[:, :, None] * u_prev[:, L - cw:]
+            head = b_j[:, :cw] - self._couple(cl_j, u_prev[:, L - cw:])
             z = jnp.concatenate([head, b_j[:, cw:]], axis=1) \
                 if cw < L else head
             u = jnp.einsum("sij,sjm->sim", Dinv_j, z)
@@ -87,7 +98,7 @@ class BandedSolver:
 
         def bwd(x_next, inp):
             Dinv_j, cu_j1, u_j = inp
-            tail = cu_j1[:, :, None] * x_next[:, :cw]
+            tail = self._couple(cu_j1, x_next[:, :cw])
             t = jnp.concatenate(
                 [jnp.zeros((S, L - cw, mu), u_j.dtype), tail], axis=1) \
                 if cw < L else tail
@@ -124,11 +135,31 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
     nbk = -(-wy_hi // r)                 # ceil: block rows
     L = r * wx_max                       # lanes per block
+
+    # pre-pass: diagonal inter-row coupling (5/7-point stencils) keeps
+    # the O(cw) coupling storage; anything else (elasticity node blocks,
+    # 9-point corners) switches to dense (cw, cw) coupling blocks
+    dense_mode = False
+    for s_, (i0, i1, j0, j1) in enumerate(boxes):
+        wx = i1 - i0
+        K0 = mats[s_].scipy(expand=True) if hasattr(mats[s_], "scipy") \
+            else mats[s_].tocsr()
+        coo0 = K0.tocoo()
+        rr = coo0.row if slot_maps is None else \
+            np.asarray(slot_maps[s_], dtype=np.int64)[coo0.row]
+        cc = coo0.col if slot_maps is None else \
+            np.asarray(slot_maps[s_], dtype=np.int64)[coo0.col]
+        off = (rr // wx) != (cc // wx)
+        if np.any(off & (rr % wx != cc % wx) & (coo0.data != 0)):
+            dense_mode = True
+            break
+
     Dinv = np.zeros((nbk, S, L, L))
     for j in range(nbk):
         Dinv[j, :, np.arange(L), np.arange(L)] = 1.0
-    cl = np.zeros((nbk, S, wx_max))
-    cu = np.zeros((nbk, S, wx_max))
+    cshape = (nbk, S, wx_max, wx_max) if dense_mode else (nbk, S, wx_max)
+    cl = np.zeros(cshape)
+    cu = np.zeros(cshape)
     idx_fwd = np.zeros((S, nbk * L), dtype=np.int32)
     msk_fwd = np.zeros((S, nbk * L, 1))
     idx_inv = np.zeros((S, n_max), dtype=np.int32)
@@ -161,9 +192,6 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         rj, cj = coo.row // wx, coo.col // wx
         if np.abs(rj - cj).max(initial=0) > 1:
             raise ValueError("matrix is not block-tridiagonal in grid rows")
-        same = rj != cj
-        if np.any(same & (coo.row % wx != coo.col % wx) & (coo.data != 0)):
-            raise ValueError("inter-row coupling is not diagonal")
         # extract blocks in f64, r grid rows per elimination block
         Kd = K.astype(np.float64)
 
@@ -171,9 +199,12 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
             return slice(gy * wx, (gy + 1) * wx)
 
         def coupling(gy):
-            """(cl, cu) diagonals between grid rows gy-1 and gy."""
+            """(cl, cu) blocks between grid rows gy-1 and gy: diagonals
+            in diag mode, dense (wx, wx) blocks otherwise."""
             a = np.asarray(Kd[row_slice(gy), row_slice(gy - 1)].todense())
             b_ = np.asarray(Kd[row_slice(gy - 1), row_slice(gy)].todense())
+            if dense_mode:
+                return a, b_
             return a.diagonal().copy(), b_.diagonal().copy()
 
         for jb in range(nbk):
@@ -188,13 +219,21 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
                 if q > 0 and gy > 0:
                     om = (q - 1) * wx_max
                     clq, cuq = coupling(gy)
-                    A[o + np.arange(wx), om + np.arange(wx)] = clq
-                    A[om + np.arange(wx), o + np.arange(wx)] = cuq
+                    if dense_mode:
+                        A[o: o + wx, om: om + wx] = clq
+                        A[om: om + wx, o: o + wx] = cuq
+                    else:
+                        A[o + np.arange(wx), om + np.arange(wx)] = clq
+                        A[om + np.arange(wx), o + np.arange(wx)] = cuq
             gy0 = jb * r
             if jb > 0 and gy0 < wy:
                 clj, cuj = coupling(gy0)
-                cl[jb, s, :wx] = clj
-                cu[jb, s, :wx] = cuj
+                if dense_mode:
+                    cl[jb, s, :wx, :wx] = clj
+                    cu[jb, s, :wx, :wx] = cuj
+                else:
+                    cl[jb, s, :wx] = clj
+                    cu[jb, s, :wx] = cuj
         eff = np.arange(n) if slots is None else slots
         canvas = (eff // wx) * wx_max + (eff % wx)
         idx_fwd[s, canvas] = np.arange(len(eff))
@@ -211,8 +250,11 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     Dinv[0] = prev
     for jb in range(1, nbk):
         corner = prev[:, lo:, lo:]
-        Dinv[jb, :, :wx_max, :wx_max] -= \
-            cl[jb][:, :, None] * corner * cu[jb][:, None, :]
+        if dense_mode:
+            Dinv[jb, :, :wx_max, :wx_max] -= cl[jb] @ corner @ cu[jb]
+        else:
+            Dinv[jb, :, :wx_max, :wx_max] -= \
+                cl[jb][:, :, None] * corner * cu[jb][:, None, :]
         prev = np.linalg.inv(Dinv[jb])
         Dinv[jb] = prev
 

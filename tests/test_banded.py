@@ -64,12 +64,33 @@ def test_banded_iteration_parity_with_dense():
     assert its["banded"] == its["inv"], its
 
 
-def test_banded_rejects_wide_coupling():
-    """A 9-point-coupled matrix (row coupling not diagonal) must raise."""
+def test_banded_dense_coupling_9point():
+    """Non-diagonal adjacent-row coupling (9-point-like) switches to the
+    dense coupling-block mode and stays exact."""
     n = 16
-    A = sp.diags([np.ones(n - 5), -np.ones(n - 1), 4 * np.ones(n),
-                  -np.ones(n - 1), np.ones(n - 5)],
-                 [-5, -1, 0, 1, 5]).tocsr()
+    A = sp.diags([np.ones(n - 3), -np.ones(n - 1), 8 * np.ones(n),
+                  -np.ones(n - 1), np.ones(n - 3)],
+                 [-3, -1, 0, 1, 3]).tocsr()
+
+    class M:
+        def scipy(self, expand=True):
+            return A
+    solver = build_banded_solver([M()], [(0, 4, 0, 4)], 16,
+                                 dtype=jnp.float64)
+    assert solver.cl.ndim == 4          # dense coupling blocks
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(1, 16, 1))
+    x = np.asarray(solver.solve(jnp.asarray(b)))[0, :, 0]
+    ref = sp.linalg.spsolve(A.tocsc(), b[0, :, 0])
+    np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_banded_rejects_wide_coupling():
+    """Coupling two grid rows apart is not block-tridiagonal: raise."""
+    n = 16
+    A = sp.diags([np.ones(n - 8), -np.ones(n - 1), 4 * np.ones(n),
+                  -np.ones(n - 1), np.ones(n - 8)],
+                 [-8, -1, 0, 1, 8]).tocsr()
 
     class M:
         def scipy(self, expand=True):
@@ -155,3 +176,45 @@ def test_banded_block_rows_end_to_end():
         assert float(nr[0] / nb[0]) < 1e-6
         its[r] = int(res.iterations)
     assert its[3] == its[1], its
+
+
+def test_banded_dense_coupling_elasticity():
+    """2D elasticity on node-slab subdomains: Q1 node blocks make the
+    inter-row coupling dense (2x2 per node, plus diagonal neighbors) —
+    the dense-coupling banded mode must match exact dense inverses."""
+    from hpddm_tpu.models import elasticity2d
+    S, Nx = 4, 24
+    gen, neumann, rbm = elasticity2d.generate(
+        S, Nx=Nx, Ny=Nx, contrast=1e2, overlap=1,
+        owner_fn=lambda ix: min(ix * S // Nx, S - 1))
+    shapes = []
+    for s in range(S):
+        nodes = np.unique(gen.gids[s] // 2)
+        ix, iy = nodes % Nx, nodes // Nx
+        wx = int(ix.max() - ix.min() + 1)
+        wy = int(iy.max() - iy.min() + 1)
+        assert gen.n_loc[s] == 2 * wx * wy     # rectangular node slabs
+        shapes.append((wy, 2 * wx))
+    its = {}
+    for kind in ("inv", "banded"):
+        opt = Options(tol=1e-8, max_it=400, gmres_restart=200,
+                      local_solver=kind)
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        if kind == "banded":
+            sch.set_banded_shapes(shapes)
+        f = np.zeros((S, sch.n_max, 1))
+        for s in range(S):
+            f[s, : gen.n_loc[s], 0] = gen.f[s][:, 0]
+        f = sch.exchange_rhs(jnp.asarray(f))
+        state = sch.build()
+        if kind == "banded":
+            assert state.solver.cl.ndim == 4   # dense coupling engaged
+        res = solve(state, f, opt=opt)
+        nb, nr = compute_residual(state, res.x, f)
+        assert float(nr[0] / nb[0]) < 1e-5
+        its[kind] = int(res.iterations)
+    # both are exact local solves; the *dense inverse* side carries the
+    # larger roundoff on the penalty-clamped (cond ~ 1e10) blocks, so
+    # iteration counts may wiggle slightly — no blow-up allowed
+    assert abs(its["banded"] - its["inv"]) <= 5, its
