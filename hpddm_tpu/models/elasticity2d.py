@@ -51,7 +51,7 @@ def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
              contrast: float = 1.0e3, nu: float = 0.3,
              overlap: int = 1, checker: int = 4,
              rng: Optional[np.random.Generator] = None,
-             owner_fn=None):
+             owner_fn=None, pen_scale: float = 1.0e8):
     """Assemble + decompose. Returns (FromFileGenerated, neumann_mats,
     rigid_body_modes).
 
@@ -66,76 +66,88 @@ def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
     ndof = 2 * n_nodes
     nid = lambda i, j: j * Nx + i  # noqa: E731
 
-    rows, cols, vals = [], [], []
-    elems = []
-    for j in range(Ny - 1):
-        for i in range(Nx - 1):
-            hard = ((i * checker // max(Nx - 1, 1))
-                    + (j * checker // max(Ny - 1, 1))) % 2 == 0
-            E = contrast if hard else 1.0
-            Ke = q1_stiffness(E, nu, h)
-            nodes = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1),
-                     nid(i, j + 1)]
-            dofs = np.array([[2 * n, 2 * n + 1] for n in nodes]).ravel()
-            elems.append((dofs, Ke))
-            r, c = np.meshgrid(dofs, dofs, indexing="ij")
-            rows.append(r.ravel())
-            cols.append(c.ravel())
-            vals.append(Ke.ravel())
-    A = sp.coo_matrix((np.concatenate(vals),
-                       (np.concatenate(rows), np.concatenate(cols))),
-                      shape=(ndof, ndof)).tocsr()
+    # vectorized assembly: the element stiffness is E-linear for fixed
+    # Poisson ratio, so one unit Ke scales across the heterogeneous mesh
+    ii, jj = np.meshgrid(np.arange(Nx - 1), np.arange(Ny - 1),
+                         indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    nodes4 = np.stack([nid(ii, jj), nid(ii + 1, jj),
+                       nid(ii + 1, jj + 1), nid(ii, jj + 1)], axis=1)
+    dofs = (2 * nodes4[:, :, None]
+            + np.arange(2)[None, None, :]).reshape(-1, 8)    # (ne, 8)
+    hard = ((ii * checker // max(Nx - 1, 1))
+            + (jj * checker // max(Ny - 1, 1))) % 2 == 0
+    E_e = np.where(hard, contrast, 1.0)
+    Ke1 = q1_stiffness(1.0, nu, h)
+    vals = E_e[:, None, None] * Ke1[None]
+    r = np.repeat(dofs, 8, axis=1).ravel()
+    c = np.tile(dofs, (1, 8)).ravel()
+    A = sp.coo_matrix((vals.ravel(), (r, c)), shape=(ndof, ndof)).tocsr()
 
-    # clamp x = 0 by penalization (the reference uses HPDDM_PEN penalties)
+    # clamp x = 0: penalization (the reference's HPDDM_PEN style) or —
+    # for f32 hardware, where a 1e8 penalty burns ~8 of the 7 significant
+    # digits — proper Dirichlet *elimination* (pen_scale=None)
     clamped = np.zeros(ndof, dtype=bool)
     for j in range(Ny):
         clamped[2 * nid(0, j)] = clamped[2 * nid(0, j) + 1] = True
-    pen = 1.0e8 * abs(A).max()
-    A = A + sp.diags(pen * clamped.astype(np.float64))
-    A = sp.csr_matrix(A)
-
     f_global = np.zeros(ndof)
     f_global[1::2] = -1.0          # downward load
     f_global[clamped] = 0.0
+    eliminate = pen_scale is None
+    if eliminate:
+        keep_dof = ~clamped
+        old_of_new = np.nonzero(keep_dof)[0]
+        A = sp.csr_matrix(sp.csr_matrix(A)[old_of_new][:, old_of_new])
+        f_global = f_global[keep_dof]
+        pen = 0.0
+    else:
+        pen = pen_scale * abs(A).max()
+        A = sp.csr_matrix(A + sp.diags(pen * clamped.astype(np.float64)))
+        keep_dof = np.ones(ndof, dtype=bool)
+        old_of_new = np.arange(ndof)
 
     owner = None
     if owner_fn is not None:
         node_i = np.arange(n_nodes) % Nx
-        owner = np.asarray([owner_fn(int(xi)) for xi in node_i]).repeat(2)
+        owner = np.asarray([owner_fn(int(xi))
+                            for xi in node_i]).repeat(2)[keep_dof]
     gen = fromfile.decompose(MatrixCSR(A), n_subdomains, overlap=overlap,
                              f_global=f_global, owner=owner)
 
-    # unassembled Neumann matrices: sum of element matrices whose dofs all
-    # live in the subdomain (GenEO's MatNeumann analogue)
+    # unassembled Neumann matrices: sum of element matrices whose (kept)
+    # dofs all live in the subdomain (GenEO's MatNeumann analogue);
+    # eliminated dofs drop their element rows/columns — vectorized
     neumann = []
     for s in range(n_subdomains):
+        old_gids = old_of_new[gen.gids[s]]
         in_set = np.zeros(ndof, dtype=bool)
-        in_set[gen.gids[s]] = True
-        l_of = {g: i for i, g in enumerate(gen.gids[s])}
+        in_set[old_gids] = True
+        l_of = np.full(ndof, -1, dtype=np.int64)
+        l_of[old_gids] = np.arange(gen.n_loc[s])
+        ok = (in_set[dofs] | ~keep_dof[dofs]).all(axis=1) \
+            & in_set[dofs].any(axis=1)
         n_s = gen.n_loc[s]
-        r_l, c_l, v_l = [], [], []
-        for dofs, Ke in elems:
-            if in_set[dofs].all():
-                ld = np.array([l_of[d] for d in dofs])
-                r, c = np.meshgrid(ld, ld, indexing="ij")
-                r_l.append(r.ravel())
-                c_l.append(c.ravel())
-                v_l.append(Ke.ravel())
-        if r_l:
-            Ns = sp.coo_matrix((np.concatenate(v_l),
-                                (np.concatenate(r_l), np.concatenate(c_l))),
+        if ok.any():
+            ld = l_of[dofs[ok]]                             # (ke, 8), -1 out
+            vs = E_e[ok][:, None, None] * Ke1[None]
+            rl = np.repeat(ld, 8, axis=1).ravel()
+            cl = np.tile(ld, (1, 8)).ravel()
+            m_ = (rl >= 0) & (cl >= 0)
+            Ns = sp.coo_matrix((vs.ravel()[m_], (rl[m_], cl[m_])),
                                shape=(n_s, n_s)).tocsr()
         else:
             Ns = sp.identity(n_s, format="csr")
-        # keep the clamping consistent on subdomains containing the edge
-        loc_clamped = clamped[gen.gids[s]]
-        Ns = sp.csr_matrix(Ns + sp.diags(pen * loc_clamped.astype(float)))
+        if not eliminate:
+            # keep the clamping consistent on subdomains with the edge
+            loc_clamped = clamped[old_gids]
+            Ns = sp.csr_matrix(Ns
+                               + sp.diags(pen * loc_clamped.astype(float)))
         neumann.append(MatrixCSR(Ns))
 
     # rigid-body modes per subdomain (for FETI / coarse spaces)
     rbm = []
     for s in range(n_subdomains):
-        g = gen.gids[s]
+        g = old_of_new[gen.gids[s]]
         node = g // 2
         comp = g % 2
         x = (node % Nx) * h

@@ -93,7 +93,9 @@ def decompose(A: MatrixCSR, n_subdomains: int, overlap: int = 1,
         node_sets.append(set(nodes.tolist()))
         gids.append(nodes)
         n_loc.append(len(nodes))
-        sub = csr[np.ix_(nodes, nodes)]
+        # row-then-column slicing: np.ix_ on scipy CSR densifies the
+        # sampling (O(len(nodes)^2) points)
+        sub = csr[nodes][:, nodes]
         mats.append(MatrixCSR(sp.csr_matrix(sub)))
 
     neighbors: List[List[int]] = [[] for _ in range(n_subdomains)]
