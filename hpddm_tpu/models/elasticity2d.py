@@ -55,10 +55,10 @@ def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
     """Assemble + decompose. Returns (FromFileGenerated, neumann_mats,
     rigid_body_modes).
 
-    ``owner_fn(node_x_index) -> subdomain`` overrides the default RCM
-    partition with a geometric one (x-slabs keep the local node sets
-    rectangular, enabling -hpddm_local_solver banded with dense
-    coupling blocks)."""
+    ``owner_fn(node_x_index, node_y_index) -> subdomain`` overrides the
+    default RCM partition with a geometric one (boxes/slabs keep the
+    local node sets rectangular, enabling -hpddm_local_solver banded
+    with dense coupling blocks)."""
     if rng is None:
         rng = np.random.default_rng(11)
     h = 1.0 / max(Nx - 1, 1)
@@ -109,8 +109,9 @@ def generate(n_subdomains: int, Nx: int = 40, Ny: int = 40,
     owner = None
     if owner_fn is not None:
         node_i = np.arange(n_nodes) % Nx
-        owner = np.asarray([owner_fn(int(xi))
-                            for xi in node_i]).repeat(2)[keep_dof]
+        node_j = np.arange(n_nodes) // Nx
+        owner = np.asarray([owner_fn(int(xi), int(yj)) for xi, yj
+                            in zip(node_i, node_j)]).repeat(2)[keep_dof]
     gen = fromfile.decompose(MatrixCSR(A), n_subdomains, overlap=overlap,
                              f_global=f_global, owner=owner)
 

@@ -186,7 +186,7 @@ def test_banded_dense_coupling_elasticity():
     S, Nx = 4, 24
     gen, neumann, rbm = elasticity2d.generate(
         S, Nx=Nx, Ny=Nx, contrast=1e2, overlap=1,
-        owner_fn=lambda ix: min(ix * S // Nx, S - 1))
+        owner_fn=lambda ix, iy: min(ix * S // Nx, S - 1))
     shapes = []
     for s in range(S):
         nodes = np.unique(gen.gids[s] // 2)
