@@ -106,7 +106,29 @@ def test_banded_with_mfree_coarse():
 def test_sharded_banded_matches_batched():
     """banded local mode under shard_map: the (wy, S, ...) factor layout
     needs its own pspecs (subdomain axis = 1); solutions must match the
-    batched run."""
+    batched run.
+
+    Runs in a subprocess: after the full suite has compiled hundreds of
+    programs in-process, the XLA CPU backend segfaults compiling this
+    test's banded scan (reproducible 2/2 full-suite runs, passes in
+    isolation) — process isolation sidesteps the backend bug."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "from tests.test_substructure_banded import _sharded_banded_body; "
+        "_sharded_banded_body()")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+
+
+def _sharded_banded_body():
     import jax
     from hpddm_tpu.parallel.mesh import (make_mesh, shard_substructure,
                                          sharded_bdd_solve,
