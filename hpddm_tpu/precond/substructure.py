@@ -527,16 +527,20 @@ class Substructure:
         projected operator P F P^T). Returns the enriched state (also
         stored on self)."""
         st = self.state
-        if st.local_mode == "banded":
-            raise NotImplementedError(
-                "GenEO-substructuring uses the dense local Schur pencil; "
-                "with -hpddm_substructuring_local banded use the kernel "
-                "coarse space (or build with the dense local mode)")
-        S, nb, _ = st.S_b.shape
+        S, nb = st.bidx.shape
         D = st.scaling
-        DSD = st.S_b * D[:, :, None] * D[:, None, :]
-        from hpddm_tpu.precond.geneo import solve_gevp_dense
-        lam, V = solve_gevp_dense(st.S_b, DSD, nu)
+        if st.local_mode == "banded":
+            # matrix-free pencil: implicit S_b applies + Chebyshev-refined
+            # S_b^+ inside a B-Lanczos loop (no dense Schur anywhere). The
+            # kernel directions are projected out, so the returned pairs
+            # start at the first non-zero eigenvalue (the dense path lists
+            # the r zero modes first; they are already in the balancing
+            # space, so the enrichment below is unaffected).
+            lam, V = _schur_gevp_lanczos(st, nu)
+        else:
+            DSD = st.S_b * D[:, :, None] * D[:, None, :]
+            from hpddm_tpu.precond.geneo import solve_gevp_dense
+            lam, V = solve_gevp_dense(st.S_b, DSD, nu)
         lam_np, V_np = np.asarray(lam), np.asarray(V)
 
         counts = np.full(S, nu, dtype=np.int64)
@@ -705,6 +709,54 @@ def _calibrate_sb(st: SubstructureState, opt: Options) -> SubstructureState:
     return dataclasses.replace(
         st, sb_lo=jnp.asarray(lo_f, rdt), sb_hi=jnp.asarray(hi_f, rdt),
         sb_degree=deg)
+
+
+def _schur_gevp_lanczos(st: SubstructureState, nu: int, ncv: int = None,
+                        passes: int = 3, seed: int = 0):
+    """GenEO-substructuring pencil S_b v = lambda (D S_b D) v solved
+    matrix-free (``-hpddm_substructuring_local banded``): the analogue of
+    ``Schur::solveGEVP`` (HPDDM_schur.hpp:161-271) for local sizes where
+    the dense Schur pencil is out of reach.
+
+    B-Lanczos (precond/geneo.py::solve_gevp_lanczos) on A^-1 B with
+      * B x = D S_b (D x) — two implicit Schur applies' worth of local
+        SpMVs + interior banded solves per step,
+      * A^-1 = kernel-projected Chebyshev S_b^+ (degree picked for ~dtype
+        accuracy by _calibrate_sb) polished by ``passes`` preconditioned-
+        Richardson refinements — the same refine idiom as the banded K^+.
+    Kernel directions are deflated by the projection, so eigenvalues start
+    at the first non-zero pencil value. Returns (lam (S, nu), V (S, nb, nu)).
+    """
+    from hpddm_tpu.precond.geneo import solve_gevp_lanczos
+    S, nb = st.bidx.shape
+    dtype = st.scaling.dtype
+
+    def proj(st, x):
+        x = jnp.where(st.b_mask[:, :, None], x, 0)
+        q = jnp.einsum("snk,snm->skm", jnp.conj(st.Sb_kernels), x)
+        return x - jnp.einsum("snk,skm->snm", st.Sb_kernels, q)
+
+    def apply_B(st, x):
+        Dx = st.scaling[:, :, None] * jnp.where(st.b_mask[:, :, None], x, 0)
+        return st.scaling[:, :, None] * _sb_apply(st, Dx)
+
+    def apply_Ainv(st, z):
+        b = proj(st, z)
+
+        def mv(x):
+            return proj(st, _sb_apply(st, proj(st, x)))
+
+        def prec(r):
+            return proj(st, _cheb_inverse(mv, r, st.sb_lo, st.sb_hi,
+                                          st.sb_degree))
+
+        x = prec(b)
+        for _ in range(passes):
+            x = x + prec(b - mv(x))
+        return proj(st, x)
+
+    return solve_gevp_lanczos(apply_Ainv, apply_B, S, nb, nu,
+                              ncv=ncv, seed=seed, dtype=dtype, aux=st)
 
 
 def _G_apply(st: SubstructureState, alpha: jax.Array,
