@@ -167,6 +167,12 @@ def solve_gevp_lanczos(apply_Ainv, apply_B, S: int, n: int, nu_max: int,
 
     @jax.jit
     def run(v, aux):
+        # purge the raw random start into range(A^-1 B) first: the operators
+        # mask/project padded rows and kernel directions, so one application
+        # removes the O(1) noise the raw vector carries on invalid slots —
+        # otherwise full reorthogonalization propagates it into every basis
+        # column and the returned eigenvectors are polluted on padded rows
+        v = fA(aux, fB(aux, v))
         nrm = jnp.sqrt(jnp.abs(jnp.einsum("snm,snm->s", v, fB(aux, v))))
         v = v / jnp.maximum(nrm, 1e-30)[:, None, None]
 

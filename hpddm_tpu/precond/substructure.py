@@ -537,7 +537,18 @@ class Substructure:
             # the r zero modes first; they are already in the balancing
             # space, so the enrichment below is unaffected).
             lam, V = _schur_gevp_lanczos(st, nu)
+            # belt-and-braces: zero padded rows of the returned vectors so
+            # the enrichment QR below builds a basis orthonormal on valid
+            # rows (the Lanczos operators already mask, but the balancing
+            # space must not depend on that implementation detail)
+            V = jnp.where(st.b_mask[:, :, None], V, 0)
         else:
+            # NOTE count semantics differ between local modes: the dense
+            # path's eigenvalue list includes the r near-zero kernel modes
+            # (they consume `nu`/`threshold` slots and are discarded by the
+            # enrichment QR), while the Lanczos path deflates them and
+            # returns only nonzero pencil eigenvalues — the same nu can
+            # yield a slightly larger effective coarse space in banded mode.
             DSD = st.S_b * D[:, :, None] * D[:, None, :]
             from hpddm_tpu.precond.geneo import solve_gevp_dense
             lam, V = solve_gevp_dense(st.S_b, DSD, nu)

@@ -66,10 +66,54 @@ def _chol_qr(op: LinearOperator, V: jax.Array, rtol: float = 1e-14):
     return Q, R
 
 
+def _gs_qr(op: LinearOperator, V: jax.Array, kind: str = "cgs",
+           rtol: float = 1e-14):
+    """Column Gram-Schmidt QR of a block V (S, n, mu): the ``-hpddm_qr
+    cgs|mgs`` distributed QR paths (HPDDM_iterative.hpp:622-666). cgs does
+    one fused Gram (+ psum) per column; mgs one dot (+ psum) per previous
+    column. mu is a static shape, so the column loop unrolls at trace time.
+    Near-dependent columns (norm below sqrt(rtol) of their pre-
+    orthogonalization size) are zeroed like the CholQR pseudo-inverse."""
+    S, n, mu = V.shape
+    dtype = V.dtype
+    R = jnp.zeros((mu, mu), dtype=dtype)
+    Q = jnp.zeros_like(V)
+    floor_rel = jnp.sqrt(jnp.asarray(max(rtol, 1e-30),
+                                     jnp.zeros(0, dtype).real.dtype))
+    for j in range(mu):
+        v = V[:, :, j: j + 1]
+        nrm0 = jnp.sqrt(jnp.abs(op.norm_sq(v)))[0]
+        if kind == "cgs":
+            # columns >= j of Q are still zero, so the full Gram is
+            # automatically masked to the previous columns
+            r = _block_dot(op, Q, v)[:, 0]                   # (mu,)
+            v = v - jnp.einsum("snk,k->sn", Q, r)[:, :, None]
+            R = R.at[:, j].add(r)
+        else:                                                # mgs
+            for k in range(j):
+                r_kj = op.dot(Q[:, :, k: k + 1], v)[0]
+                v = v - r_kj * Q[:, :, k: k + 1]
+                R = R.at[k, j].set(r_kj.astype(dtype))
+        nrm = jnp.sqrt(jnp.abs(op.norm_sq(v)))[0]
+        ok = nrm > floor_rel * jnp.maximum(nrm0, 1e-30)
+        safe = jnp.where(ok, nrm, 1.0)
+        Q = Q.at[:, :, j].set(jnp.where(ok, (v / safe)[:, :, 0], 0))
+        R = R.at[j, j].set(jnp.where(ok, nrm, 0.0).astype(dtype))
+    return Q, R
+
+
+def _qr(op: LinearOperator, V: jax.Array, kind: str = "cholqr",
+        rtol: float = 1e-14):
+    """Distributed QR dispatch on ``-hpddm_qr`` (cholqr | cgs | mgs)."""
+    if kind in ("cgs", "mgs"):
+        return _gs_qr(op, V, kind, rtol)
+    return _chol_qr(op, V, rtol)
+
+
 def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
            tol: float = 1.0e-6, restart: int = 40, max_it: int = 100,
            variant: str = "right", ortho: str = "cgs",
-           deflation_tol: float = -1.0) -> KrylovResult:
+           deflation_tol: float = -1.0, qr: str = "cholqr") -> KrylovResult:
     """Block GMRES: one Krylov space for all mu RHS simultaneously."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -97,7 +141,7 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         r = b - op.gmv(x)
         if left:
             r = op.apply(r)
-        Q0, R0 = _chol_qr(op, r)
+        Q0, R0 = _qr(op, r, qr)
         V = jnp.zeros((m + 1, S, n, mu), dtype=dtype).at[0].set(Q0)
         Z = jnp.zeros((m, S, n, mu), dtype=dtype) if flexible else None
         # block Hessenberg: H[j, i] is the (mu x mu) block in block-row j,
@@ -159,7 +203,7 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
             Hcol = psum_if(Hcol, op.axis_name)
             Hcol = jnp.where(mask, Hcol, 0)
             w = w - jnp.einsum("kab,ksna->snb", Hcol, st.V)
-            Qn, Rn = _chol_qr(op, w)
+            Qn, Rn = _qr(op, w, qr)
             H_new = st.H.at[:, st.i].set(Hcol).at[st.i + 1, st.i].set(Rn)
             V_new = st.V.at[st.i + 1].set(Qn)
 
@@ -257,7 +301,7 @@ def bcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
 
 def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
           tol: float = 1.0e-6, max_it: int = 100,
-          deflation_tol: float = 1.0e-4) -> KrylovResult:
+          deflation_tol: float = 1.0e-4, qr: str = "cholqr") -> KrylovResult:
     """Breakdown-free block CG (HPDDM_CG.hpp:343-484): directions are
     M-orthonormalized each step and near-dependent ones deflated by the
     pseudo-inverse truncation at ``deflation_tol``."""
@@ -280,7 +324,7 @@ def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         hist: jax.Array
 
     r0 = b - op.gmv(x0)
-    p0, _ = _chol_qr(op, op.apply(r0), rtol=dtol)
+    p0, _ = _qr(op, op.apply(r0), qr, rtol=dtol)
 
     def cond(c: Carry):
         return (c.it <= max_it) & jnp.any(c.first_it == 0)
@@ -295,7 +339,7 @@ def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
         z = op.apply(r)
         beta = -(pinv @ _block_dot(op, Ap, z))
         p_new = z + jnp.einsum("sna,ab->snb", c.p, beta)
-        p_new, _ = _chol_qr(op, p_new, rtol=dtol)
+        p_new, _ = _qr(op, p_new, qr, rtol=dtol)
         res = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, r, r)))).astype(rdtype)
         crossed = res <= tol * norm
         first_new = jnp.where((c.first_it == 0) & crossed, c.it, c.first_it)

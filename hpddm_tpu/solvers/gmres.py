@@ -160,10 +160,18 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
 
             # --- orthogonalization -----------------------------------
             mask = (jnp.arange(m + 1) <= st.i)[:, None]
-            if ortho == "cgs":
+            if ortho in ("cgs", "cgs2"):
                 h = op.gram(st.V, w)                        # (m+1, mu)
                 h = jnp.where(mask, h, 0)
                 w = w - jnp.einsum("km,ksnm->snm", h, st.V)
+                if ortho == "cgs2":
+                    # iterated CGS: one extra fused Gram pass + psum
+                    # restores orthogonality over long f32 bases ("twice is
+                    # enough"); the coefficients fold into the same h
+                    h2 = op.gram(st.V, w)
+                    h2 = jnp.where(mask, h2, 0)
+                    w = w - jnp.einsum("km,ksnm->snm", h2, st.V)
+                    h = h + h2
             else:  # mgs
                 def mgs_step(j, acc):
                     w_, h_ = acc

@@ -66,11 +66,22 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
     """Dispatch in the operator's internal numbering."""
     if opt is None:
         opt = Options()
+    opt.warn_inert()
     op = make_operator(A, axis_name)
     method = opt.val("krylov_method", prefix=prefix)
     tol = float(opt.val("tol", prefix=prefix))
     max_it = int(opt.val("max_it", prefix=prefix))
     variant = opt.val("variant", prefix=prefix)
+    ortho = opt.val("orthogonalization", prefix=prefix)
+    if not opt.set("orthogonalization", prefix=prefix) and \
+            b.dtype in (jnp.float32.dtype, jnp.bfloat16.dtype,
+                        jnp.complex64.dtype):
+        # f32 default is iterated CGS: plain CGS over long bases loses
+        # orthogonality below f64 (the elasticity flagship stalled at
+        # restart 60 with cgs; cgs2 costs one extra fused Gram psum and
+        # tracks MGS iterations without its k-psum latency — PERF.md)
+        ortho = "cgs2"
+    qr_kind = opt.val("qr", prefix=prefix)
 
     if b.ndim == 2:  # (S, n) convenience -> single RHS
         b = b[:, :, None]
@@ -111,7 +122,7 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         return gmres(op, b, x0, tol=tol,
                      restart=int(opt.val("gmres_restart")),
                      max_it=max_it, variant=variant,
-                     ortho=opt.val("orthogonalization"))
+                     ortho=ortho)
     if method == "cg":
         from hpddm_tpu.precond import schwarz as _sz
         if isinstance(A, _sz.SchwarzState) and \
@@ -126,7 +137,7 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                 return gmres(op, b, x0, tol=tol,
                              restart=int(opt.val("gmres_restart")),
                              max_it=max_it, variant=variant,
-                             ortho=opt.val("orthogonalization"))
+                             ortho=ortho)
         from hpddm_tpu.solvers.cg import cg
         return cg(op, b, x0, tol=tol, max_it=max_it, variant=variant)
     if method == "richardson":
@@ -138,33 +149,46 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         return bgmres(op, b, x0, tol=tol,
                       restart=int(opt.val("gmres_restart")),
                       max_it=max_it, variant=variant,
-                      ortho=opt.val("orthogonalization"),
-                      deflation_tol=opt.val("deflation_tol", -1.0))
+                      ortho=ortho,
+                      deflation_tol=opt.val("deflation_tol", -1.0),
+                      qr=qr_kind)
     if method == "bcg":
         from hpddm_tpu.solvers.block import bcg
         return bcg(op, b, x0, tol=tol, max_it=max_it)
     if method == "bfbcg":
         from hpddm_tpu.solvers.block import bfbcg
-        return bfbcg(op, b, x0, tol=tol, max_it=max_it)
+        return bfbcg(op, b, x0, tol=tol, max_it=max_it, qr=qr_kind)
     if method in ("gcrodr", "bgcrodr"):
         # gcrodr: per-RHS solves sharing one refined recycle space;
         # bgcrodr: true block recycling (fused block Krylov space,
-        # HPDDM_GCRODR.hpp:446-907) when mu > 1
+        # HPDDM_GCRODR.hpp:446-907) when mu > 1.
+        # The recycled (U, C) pair persists across solve() calls in the
+        # Options' per-prefix storage (OptionsPrefix::storage_,
+        # HPDDM_option.hpp:444-461); -hpddm_recycle_same_system skips the
+        # re-projection of the stored space (HPDDM_GCRODR.hpp:435).
+        recycled = opt.storage(prefix)
+        same = bool(int(opt.val("recycle_same_system", 0)))
         if method == "bgcrodr" and b.shape[-1] > 1:
             from hpddm_tpu.solvers.gcrodr import bgcrodr_fused
-            return bgcrodr_fused(op, b, x0, tol=tol,
-                                 restart=int(opt.val("gmres_restart")),
-                                 max_it=max_it,
-                                 recycle=int(opt.val("recycle", 0)),
-                                 target=opt.val("recycle_target"),
-                                 strategy=opt.val("recycle_strategy"))
-        from hpddm_tpu.solvers.gcrodr import bgcrodr
-        return bgcrodr(op, b, x0, tol=tol,
-                       restart=int(opt.val("gmres_restart")),
-                       max_it=max_it, variant=variant,
-                       recycle=int(opt.val("recycle", 0)),
-                       target=opt.val("recycle_target"),
-                       strategy=opt.val("recycle_strategy"))
+            res = bgcrodr_fused(op, b, x0, tol=tol,
+                                restart=int(opt.val("gmres_restart")),
+                                max_it=max_it,
+                                recycle=int(opt.val("recycle", 0)),
+                                target=opt.val("recycle_target"),
+                                strategy=opt.val("recycle_strategy"),
+                                recycled=recycled, same_system=same)
+        else:
+            from hpddm_tpu.solvers.gcrodr import bgcrodr
+            res = bgcrodr(op, b, x0, tol=tol,
+                          restart=int(opt.val("gmres_restart")),
+                          max_it=max_it, variant=variant,
+                          recycle=int(opt.val("recycle", 0)),
+                          target=opt.val("recycle_target"),
+                          strategy=opt.val("recycle_strategy"),
+                          recycled=recycled, same_system=same)
+        if res.recycled is not None:
+            opt.set_storage(res.recycled, prefix)
+        return res
     if method == "none":
         # x = M^-1 b, one application, it = 1
         # (HPDDM_KRYLOV_METHOD_NONE, HPDDM_iterative.hpp:1056-1070)

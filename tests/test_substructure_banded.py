@@ -91,6 +91,35 @@ def test_bdd_banded_matches_dense():
     assert res["banded"] <= res["dense"] + 5, res
 
 
+def test_gevp_banded_matches_dense():
+    """GenEO enrichment through the matrix-free Lanczos pencil: solutions
+    and iteration counts must track the dense-pencil path, and the
+    balancing basis must be orthonormal on valid rows with zero padding
+    (the Lanczos start vector is purged into the operator range, so no
+    pad noise may leak into Sb_kernels)."""
+    gen = nonoverlap.generate(16, 32, 32)
+    x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
+    res = {}
+    for mode in ("dense", "banded"):
+        sub = _build(gen, mode)
+        st = sub.solve_gevp(nu=2)
+        r = bdd_solve(st, _pack_f(gen, sub), tol=1e-9, max_it=300)
+        x = _recovered(gen, r.u)
+        err = np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct)
+        assert err < 1e-6, (mode, err)
+        res[mode] = int(r.iterations)
+        # balancing basis sanity: zero on padded rows, orthonormal columns
+        Sbk = np.asarray(st.Sb_kernels)
+        msk = np.asarray(st.b_mask)
+        rk = np.asarray(st.sb_r_loc)
+        assert np.abs(Sbk[~msk]).max(initial=0.0) < 1e-12, mode
+        for s in range(Sbk.shape[0]):
+            Q = Sbk[s, :, : rk[s]]
+            np.testing.assert_allclose(Q.T @ Q, np.eye(int(rk[s])),
+                                       atol=1e-10, err_msg=mode)
+    assert res["banded"] <= res["dense"] + 5, res
+
+
 def test_banded_with_mfree_coarse():
     """banded local + mfree coarse: no O(n^2) factor, no replicated G."""
     gen = nonoverlap.generate(16, 32, 32)
