@@ -74,6 +74,14 @@ class Decomposition:
     k_max: int = dataclasses.field(metadata=dict(static=True))
     renumbered: bool = dataclasses.field(default=False,
                                          metadata=dict(static=True))
+    # distinct subdomain offsets q - s over all partner pairs (static,
+    # sorted). Under shard_map this bounds which *devices* hold partners,
+    # so the exchange can ppermute only neighbor slabs instead of
+    # all_gathering the full interface (HPDDM's halo is point-to-point
+    # with neighbors only, HPDDM_subdomain.hpp:115-130; per-iteration comm
+    # must be O(local interface), not O(total)).
+    sub_shifts: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
     # optional structured-grid halo plan (parallel/grid.py); when present
     # `exchange` uses the scatter-free slab path
     grid: Optional[object] = None
@@ -184,6 +192,12 @@ class Decomposition:
                 others = [p for p in members if p != me]
                 s_i, k_i = divmod(me, m_max)
                 partners[s_i, k_i, : len(others)] = others
+        # static set of subdomain offsets (q - s) with any shared dof
+        valid = partners != sentinel
+        src = np.broadcast_to(np.arange(S)[:, None, None], partners.shape)
+        sub_shifts = tuple(
+            int(v) for v in np.unique(partners[valid] // m_max
+                                      - src[valid])) if valid.any() else ()
 
         d_arr = np.zeros((S, n_max), dtype=dtype)
         if d is None or scaling == "multiplicity":
@@ -264,6 +278,7 @@ class Decomposition:
             iperm=jnp.asarray(iperm) if iperm is not None else None,
             S=S, n_max=int(n_max), m_max=m_max, n_if=n_if, n_global=n_global,
             k_max=int(k_max), renumbered=bool(renumber),
+            sub_shifts=sub_shifts,
             rowplan=rowplan,
         )
 

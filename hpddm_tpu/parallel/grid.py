@@ -16,10 +16,12 @@ codes do it on device meshes.
 Neighbor strips are padded to width ``t = 3*overlap`` (edge boxes are
 extended inward to stay uniform, which widens their shared region to
 3*overlap; interior pairs share 2*overlap) and re-aligned per subdomain
-with a cheap narrow take_along_axis. When sharded, the four strip
-tensors are all_gathered over the mesh axis (tiny: perimeter data only)
-and neighbor ids index the global S axis, exactly like the general
-path's partner slab.
+with a cheap narrow take_along_axis. When sharded on a *regular* process
+grid, each of the 8 neighbor directions is a static flat shift of the S
+axis resolved with two ``ppermute``s — point-to-point with neighbor
+devices only, per-device comm volume independent of the total subdomain
+count (the reference's halo swap, HPDDM_subdomain.hpp:115-130).
+Irregular grids fall back to all_gathered strips + one-hot selection.
 """
 
 from __future__ import annotations
@@ -149,6 +151,48 @@ def _static_shift(vals: jax.Array, v: int, axis: int) -> jax.Array:
     return jnp.pad(vals[tuple(idx)], pad)
 
 
+def _global_row_shift(x: jax.Array, k: int, axis_name: str) -> jax.Array:
+    """out[i] = x_global[p*S_loc + i + k] for the flattened-S sharded axis.
+
+    The needed rows span at most two neighbor devices (static shifts
+    k//S_loc and k//S_loc + 1), so this is two ppermutes of complementary
+    row slices — per-device volume exactly one slab, independent of the
+    total subdomain count. Rows whose global source is out of range carry
+    wrapped garbage; callers mask them (the grid-validity mask covers
+    exactly those rows, see _sharded_neighbor_take)."""
+    from hpddm_tpu.parallel.ops import _ppermute_shift
+    S_loc = x.shape[0]
+    d1, r = divmod(k, S_loc)
+    a = _ppermute_shift(x[r:], d1, axis_name)
+    if r == 0:
+        return a
+    b = _ppermute_shift(x[:r], d1 + 1, axis_name)
+    return jnp.concatenate([a, b], axis=0)
+
+
+def _sharded_neighbor_take(plan: "GridPlan", axis_name: str, S_loc: int):
+    """Neighbor strip selection on *local* strips under shard_map: the
+    TPU analogue of the reference's point-to-point halo swap
+    (HPDDM_subdomain.hpp:115-130). On a regular row-major process grid the
+    8 neighbor directions are static flat shifts dy*gx + dx of the S axis,
+    each resolved with two ppermutes (no all_gather: per-device comm is
+    O(local perimeter)). Values are bitwise those of the gathered-slab
+    formulation, keeping batched == sharded exact."""
+    p = lax.axis_index(axis_name)
+    g = p * S_loc + jnp.arange(S_loc)
+    iy, ix = g // plan.gx, g % plan.gx
+
+    def take(strips, dir_):
+        dy, dx = _DIRS[dir_]
+        out = _global_row_shift(strips, dy * plan.gx + dx, axis_name)
+        ok = ((iy + dy >= 0) & (iy + dy < plan.gy) &
+              (ix + dx >= 0) & (ix + dx < plan.gx))
+        return jnp.where(ok.reshape((S_loc,) + (1,) * (strips.ndim - 1)),
+                         out, 0)
+
+    return take
+
+
 def _shift_select(vals: jax.Array, k: jax.Array, axis: int,
                   t: int) -> jax.Array:
     """out[s, ..., i, ...] = vals[s, ..., i + k[s], ...], zero outside.
@@ -214,7 +258,7 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
     Wst = x4[:, :, :tm]
     Nst = x4[:, :t, :]
     Sst = x4[:, H - t:, :]
-    if axis_name is not None:
+    if axis_name is not None and not plan.regular:
         Est = lax.all_gather(Est, axis_name, axis=0, tiled=True)
         Wst = lax.all_gather(Wst, axis_name, axis=0, tiled=True)
         Nst = lax.all_gather(Nst, axis_name, axis=0, tiled=True)
@@ -223,15 +267,14 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
     sxw, syw = plan.sxw, plan.syw
 
     if plan.regular:
-        def take(strips, dir_):
-            dy, dx = _DIRS[dir_]
-            g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
-            g = _static_shift(_static_shift(g, dy, 0), dx, 1)
-            full = g.reshape(strips.shape)
-            if axis_name is None:
-                return full
-            return lax.dynamic_slice_in_dim(
-                full, lax.axis_index(axis_name) * S_loc, S_loc, 0)
+        if axis_name is not None:
+            take = _sharded_neighbor_take(plan, axis_name, S_loc)
+        else:
+            def take(strips, dir_):
+                dy, dx = _DIRS[dir_]
+                g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
+                g = _static_shift(_static_shift(g, dy, 0), dx, 1)
+                return g.reshape(strips.shape)
         Ep, Wp, Np, Sp = Est, Wst, Nst, Sst
     else:
         def pad(strip):
@@ -326,7 +369,7 @@ def _grid_exchange_4d(plan: GridPlan, x: jax.Array,
     Wst = x4[:, :, :t, :]
     Nst = x4[:, :t, :, :]
     Sst = x4[:, H - t:, :, :]
-    if axis_name is not None:
+    if axis_name is not None and not plan.regular:
         Est = lax.all_gather(Est, axis_name, axis=0, tiled=True)
         Wst = lax.all_gather(Wst, axis_name, axis=0, tiled=True)
         Nst = lax.all_gather(Nst, axis_name, axis=0, tiled=True)
@@ -335,16 +378,15 @@ def _grid_exchange_4d(plan: GridPlan, x: jax.Array,
     sxw, syw = plan.sxw, plan.syw
 
     if plan.regular:
-        # neighbor selection = static shift of the (gy, gx, ...) tensor
-        def take(strips, dir_):
-            dy, dx = _DIRS[dir_]
-            g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
-            g = _static_shift(_static_shift(g, dy, 0), dx, 1)
-            full = g.reshape(strips.shape)
-            if axis_name is None:
-                return full
-            return lax.dynamic_slice_in_dim(
-                full, lax.axis_index(axis_name) * S_loc, S_loc, 0)
+        if axis_name is not None:
+            take = _sharded_neighbor_take(plan, axis_name, S_loc)
+        else:
+            # neighbor selection = static shift of the (gy, gx, ...) tensor
+            def take(strips, dir_):
+                dy, dx = _DIRS[dir_]
+                g = strips.reshape((plan.gy, plan.gx) + strips.shape[1:])
+                g = _static_shift(_static_shift(g, dy, 0), dx, 1)
+                return g.reshape(strips.shape)
         Ep, Wp, Np, Sp = Est, Wst, Nst, Sst
     else:
         def pad(strip):

@@ -50,6 +50,30 @@ def psum_if(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     return lax.psum(x, axis_name)
 
 
+def device_shifts(sub_shifts, S_loc: int):
+    """Distinct device offsets holding partners of any local subdomain.
+
+    A partner at subdomain offset ``v`` of a subdomain s in a contiguous
+    block of S_loc lands on device offset (s%S_loc + v) // S_loc, i.e. one
+    of {v//S_loc, (v+S_loc-1)//S_loc}. Static: drives the ppermute perms.
+    """
+    out = set()
+    for v in sub_shifts:
+        out.add(v // S_loc)
+        out.add(-((-v) // S_loc))
+    return tuple(sorted(out))
+
+
+def _ppermute_shift(x: jax.Array, d: int, axis_name: str) -> jax.Array:
+    """Receive device (p + d)'s copy of x (wraps at the mesh edge; callers
+    must never index wrapped rows — partner/validity masks guarantee it)."""
+    if d == 0:
+        return x
+    P = lax.axis_size(axis_name)
+    perm = [((i + d) % P, i) for i in range(P)]
+    return lax.ppermute(x, axis_name, perm)
+
+
 def _interface_reduce(dec: Decomposition, vals: jax.Array,
                       axis_name: Optional[str]) -> jax.Array:
     """Sum interface contributions over all owners — scatter-free.
@@ -57,18 +81,51 @@ def _interface_reduce(dec: Decomposition, vals: jax.Array,
     vals: (S_loc, m_max, mu) gathered interface values (zero on invalid
     slots). Each slot's class members are precomputed (dec.partners), so
     the reduction is self + k_max partner *gathers* — TPU scatters
-    serialize, gathers don't. When sharded, the (small) interface slab is
-    all-gathered over ICI first; single-device runs skip the collective.
+    serialize, gathers don't.
+
+    Sharded: partners live only on the statically-known neighbor devices
+    (dec.sub_shifts), so the slab to gather from is the concatenation of
+    |D| ppermute'd neighbor slabs — per-device comm volume O(|D| * local
+    interface), independent of the total subdomain count (the reference's
+    point-to-point halo, HPDDM_subdomain.hpp:115-130). Gathered values are
+    bitwise those of the full-slab formulation, so batched == sharded
+    results stay bitwise identical. Falls back to an all_gather when the
+    neighbor structure is dense (|D| >= P - 1) or unknown.
     """
     mu = vals.shape[-1]
+    sentinel = dec.S * dec.m_max
     if axis_name is None:
-        vals_all = vals
-    else:
+        flat = vals.reshape(-1, mu)
+        flat = jnp.concatenate([flat, jnp.zeros((1, mu), dtype=flat.dtype)])
+        pvals = flat[dec.partners]
+        return vals + jnp.sum(pvals, axis=2)
+
+    S_loc = vals.shape[0]
+    P = dec.S // S_loc
+    D = device_shifts(dec.sub_shifts, S_loc) if dec.sub_shifts else ()
+    if not D or len([d for d in D if d]) >= P - 1:
+        # dense/unknown neighbor graph: the full slab is optimal
         vals_all = jax.lax.all_gather(vals, axis_name, axis=0, tiled=True)
-    flat = vals_all.reshape(-1, mu)
-    flat = jnp.concatenate([flat, jnp.zeros((1, mu), dtype=flat.dtype)])
-    # (S_loc, m_max, k_max, mu) partner values; sentinel -> zero row
-    pvals = flat[dec.partners]
+        flat = vals_all.reshape(-1, mu)
+        flat = jnp.concatenate([flat,
+                                jnp.zeros((1, mu), dtype=flat.dtype)])
+        pvals = flat[dec.partners]
+        return vals + jnp.sum(pvals, axis=2)
+
+    block = S_loc * dec.m_max
+    slabs = [_ppermute_shift(vals, d, axis_name).reshape(block, mu)
+             for d in D]
+    flat = jnp.concatenate(slabs + [jnp.zeros((1, mu), dtype=vals.dtype)])
+    # remap global flat ids -> compact-slab positions
+    g = dec.partners                                    # (S_loc, m_max, k)
+    qdev = g // block
+    off = g - qdev * block
+    dshift = qdev - lax.axis_index(axis_name)
+    pos = jnp.zeros_like(g)
+    for j, d in enumerate(D):
+        pos = jnp.where(dshift == d, j, pos)
+    idx = jnp.where(g == sentinel, len(D) * block, pos * block + off)
+    pvals = flat[idx]
     return vals + jnp.sum(pvals, axis=2)
 
 

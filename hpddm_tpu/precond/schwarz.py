@@ -155,7 +155,12 @@ def deflation(state: SchwarzState, x: jax.Array,
     if axis_name is None:
         c = c_loc.reshape(-1, mu)                            # (N_c, mu)
     else:
-        # all_gather over the mesh axis -> full coarse RHS on every device
+        # all_gather over the mesh axis -> full coarse RHS on every device.
+        # For a *replicated* coarse factorization this is volume-optimal:
+        # every device must end up with all N_c entries, and all_gather's
+        # per-device receive volume (N_c - N_c/P) is the lower bound (a
+        # psum of padded slot vectors would move ~2x that). Coarse solves
+        # whose RHS must stay distributed use mode="bsr" above.
         c = jax.lax.all_gather(c_loc, axis_name, axis=0, tiled=True)
         c = c.reshape(-1, mu)
     y = _coarse_solve(co, c).astype(x.dtype)                 # (N_c, mu)

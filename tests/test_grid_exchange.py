@@ -118,3 +118,56 @@ def test_uniform_solve_converges():
     nb, nr = compute_residual(state, res.x, f)
     assert float(nr[0] / nb[0]) <= 1e-6
     assert int(res.iterations) < 60
+
+
+def _exchange_hlo(dec, S, n_dev):
+    mesh = make_mesh(n_dev)
+    specs = jax.tree_util.tree_map(
+        lambda l: P("sub") if (hasattr(l, "ndim") and l.ndim > 0
+                               and l.shape[0] == S) else P(), dec)
+    fn = jax.shard_map(lambda d_, v: pops.exchange(d_, v, axis_name="sub"),
+                       mesh=mesh, in_specs=(specs, P("sub", None, None)),
+                       out_specs=P("sub", None, None), check_vma=False)
+    x = jax.ShapeDtypeStruct((S, dec.n_max, 1), jnp.float64)
+    return jax.jit(fn).lower(dec, x).compile().as_text()
+
+
+@pytest.mark.parametrize("path", ["grid", "general"])
+def test_exchange_neighbor_only_comm(path):
+    """The sharded halo must be point-to-point with neighbors only
+    (HPDDM_subdomain.hpp:115-130): no all-gather in the compiled exchange,
+    and on 1-D strip decompositions with a fixed subdomain size the
+    per-device collective-permute shapes must be *identical* between
+    S=P=5 and S=P=7 — per-device comm volume independent of the total
+    subdomain count (the weak-scaling requirement)."""
+    import re
+
+    def build(S, uniform):
+        # prime S -> 1 x S strip grid; fixed 16x16 boxes
+        if uniform:
+            gen = diffusion2d.generate_uniform(S, 16, 16 * S, overlap=1)
+            _, dec = _dec_with_plan(gen)
+        else:
+            gen = diffusion2d.generate(S, 16, 16 * S, overlap=1)
+            sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                          options=Options())
+            dec = sch.dec
+        return dec
+
+    def cp_shapes(txt):
+        cp = [c for c in re.findall(r"(\S+)\s+collective-permute", txt)
+              if "[" in c]
+        return sorted(cp)
+
+    shapes = {}
+    for S in (5, 7):
+        txt = _exchange_hlo(build(S, path == "grid"), S, S)
+        assert "all-gather" not in txt, (path, S)
+        assert cp_shapes(txt), (path, S, "no collective-permute found")
+        shapes[S] = cp_shapes(txt)
+    assert shapes[5] == shapes[7], shapes
+
+    # 2D process grid (2x4): still strictly neighbor-to-neighbor
+    txt = _exchange_hlo(build(8, path == "grid"), 8, 8)
+    assert "all-gather" not in txt, path
+    assert cp_shapes(txt), path
