@@ -25,8 +25,7 @@ def main(argv=None):
     import scipy.sparse as sp
     from hpddm_tpu.options import Options
     from hpddm_tpu.solvers.base import LinearOperator
-    from hpddm_tpu.solvers.gcrodr import gcrodr
-    from hpddm_tpu.solvers.gmres import gmres
+    from hpddm_tpu.solvers.krylov import solve
 
     argv = list(sys.argv[1:] if argv is None else argv)
     opt = Options.parse(argv, display=True)
@@ -45,16 +44,22 @@ def main(argv=None):
         Ad = jnp.asarray(A.todense())
         return LinearOperator(gmv=lambda x: jnp.einsum("nk,skm->snm", Ad, x))
 
+    # everything goes through solve(); the recycled (U, C) pair persists
+    # between calls in the Options' per-prefix storage
+    # (OptionsPrefix::storage_, HPDDM_option.hpp:444-461)
+    opt_r = opt.copy()
+    opt_r["krylov_method"] = "gcrodr"
+    opt_r["recycle"] = recycle
+    opt_r["tol"], opt_r["max_it"] = tol, 1000
+    opt_r["gmres_restart"] = restart
+    opt_g = opt_r.copy()
+    opt_g["krylov_method"] = "gmres"
+
     total_g = total_r = 0
-    rec = None
     for i in range(n_sys):
         op = system(i)
-        rg = gmres(op, b, tol=tol, restart=restart, max_it=1000)
-        rr = gcrodr(op, b, tol=tol, restart=restart, max_it=1000,
-                    recycle=recycle, recycled=rec,
-                    target=opt.val("recycle_target"),
-                    strategy=opt.val("recycle_strategy"))
-        rec = rr.recycled
+        rg = solve(op, b, opt=opt_g)
+        rr = solve(op, b, opt=opt_r)
         total_g += int(rg.iterations)
         total_r += int(rr.iterations)
     print(f"total iterations: GMRES({restart}) = {total_g}, "

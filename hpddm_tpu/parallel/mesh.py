@@ -67,10 +67,15 @@ def state_pspecs(state, axis: str = "sub"):
     replicated = ({id(leaf) for leaf in jax.tree_util.tree_leaves(plan)}
                   if plan is not None else set())
     # replicated coarse-space leaves, by field name — shape heuristics are
-    # unsafe here (E2_inv is (S, S); N_c can equal S)
+    # unsafe here (E2_inv can be (S, S); N_c can equal S). Eloc_inv is
+    # per-block (S-leading, sharded) in bsr mode but indexed globally by
+    # the replicated dense-mode preconditioner.
     co = getattr(state, "coarse", None)
     if co is not None:
-        for name in ("E", "E_inv", "E2_inv", "Z2"):
+        names = ["E", "E_inv", "E2_inv", "Z2", "E2", "agg_oh", "loc_idx"]
+        if getattr(co, "mode", "") != "bsr":
+            names.append("Eloc_inv")
+        for name in names:
             leaf = getattr(co, name, None)
             replicated.update(
                 id(x) for x in jax.tree_util.tree_leaves(leaf))

@@ -72,10 +72,36 @@ class CoarseState:
                                          metadata=dict(static=True))
     inner_max_it: int = dataclasses.field(default=50,
                                           metadata=dict(static=True))
-    # third level (iterative mode): constant-per-block deflation of E —
-    # the buildThree recursion collapsed to its algebraic core
-    E2_inv: Optional[jax.Array] = None   # (S, S) inverse of Z2^T E Z2
-    Z2: Optional[jax.Array] = None       # (N_c, S) block indicators
+    # inexact-coarse solve configuration (level-2 options): the nested
+    # solve dispatches through the same solvers/ stack as the fine level —
+    # the reference recursion IterativeMethod::solve on the coarse matrix
+    # (HPDDM_inexact_coarse_operator.hpp:741-778).
+    method: str = dataclasses.field(default="cg",
+                                    metadata=dict(static=True))
+    restart: int = dataclasses.field(default=30,
+                                     metadata=dict(static=True))
+    # level-2 preconditioner: 'bj' block-Jacobi (= RAS with zero overlap),
+    # 'ras'/'asm' one-level block Schwarz with neighbor-block overlap
+    # (level_2_schwarz_method), 'none' identity
+    prec: str = dataclasses.field(default="bj", metadata=dict(static=True))
+    # third level (buildThree, HPDDM_inexact_coarse_operator.hpp:1328):
+    # aggregate-constant deflation of E; the level-3 system is solved
+    # 'direct' (prefactorized), 'cg' (nested Jacobi-CG with level_3_tol /
+    # level_3_max_it), or 'none' (disabled)
+    lvl3: str = dataclasses.field(default="direct",
+                                  metadata=dict(static=True))
+    l3_tol: float = dataclasses.field(default=1.0e-2,
+                                      metadata=dict(static=True))
+    l3_max_it: int = dataclasses.field(default=20,
+                                       metadata=dict(static=True))
+    E2_inv: Optional[jax.Array] = None   # (n3, n3) inverse of Z2^T E Z2
+    #                                      (or its Jacobi inverse, lvl3='cg')
+    Z2: Optional[jax.Array] = None       # (N_c, n3) aggregate indicators
+    E2: Optional[jax.Array] = None       # (n3, n3) level-3 matrix (lvl3='cg')
+    # overlapping-block Schwarz data (prec 'ras'/'asm')
+    Eloc_inv: Optional[jax.Array] = None  # (S, L, L) local inverses
+    loc_idx: Optional[jax.Array] = None   # (S, L) coarse-row gather (dense)
+    agg_oh: Optional[jax.Array] = None    # (S, n3) aggregates (bsr lvl3)
     # block-sparse coarse (mode 'bsr'); all leaves S-leading -> sharded
     Eb_diag: Optional[jax.Array] = None      # (S, nu, nu)
     Eb_nbr: Optional[jax.Array] = None       # (S, K, nu, nu)
@@ -174,66 +200,114 @@ def deflation(state: SchwarzState, x: jax.Array,
     return scaled_exchange(dec, out, axis_name)
 
 
-def _coarse_solve(co: CoarseState, c: jax.Array) -> jax.Array:
+def _solve_level3(co: CoarseState, rc: jax.Array) -> jax.Array:
+    """Solve the level-3 aggregate system E2 w = rc (rc: (n3, mu)).
+
+    'direct': prefactorized inverse. 'cg': nested Jacobi-preconditioned CG
+    with the level-3 options — the recursion of buildThree
+    (HPDDM_inexact_coarse_operator.hpp:741-778,1328) one level down."""
+    if co.lvl3 == "direct":
+        return co.E2_inv @ rc
+    E2, Jinv = co.E2, co.E2_inv                    # E2_inv = Jacobi inverse
+    norm = jnp.sqrt(jnp.sum(jnp.abs(rc) ** 2, axis=0))
+    norm = jnp.where(norm > 0, norm, 1.0)
+
+    def cond(carry):
+        w, r, p, rz, it = carry
+        res = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0)) / norm
+        return (it < co.l3_max_it) & jnp.any(res > co.l3_tol)
+
+    def body(carry):
+        w, r, p, rz, it = carry
+        Ep = E2 @ p
+        pq = jnp.sum(jnp.conj(p) * Ep, axis=0)
+        alpha = rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
+        w = w + alpha[None, :] * p
+        r = r - alpha[None, :] * Ep
+        z = Jinv @ r
+        rz_new = jnp.sum(jnp.conj(r) * z, axis=0)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+        p = z + beta[None, :] * p
+        return (w, r, p, rz_new, it + 1)
+
+    z0 = Jinv @ rc
+    rz0 = jnp.sum(jnp.conj(rc) * z0, axis=0)
+    w, *_ = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(rc), rc, z0, rz0, jnp.int32(0)))
+    return w
+
+
+def _coarse_solve(co: CoarseState, c: jax.Array,
+                  return_its: bool = False):
     """Solve E y = c on the replicated coarse problem.
 
     direct: one small matmul with the prefactorized inverse. iterative:
-    nested block-Jacobi-preconditioned CG at (inner_tol, inner_max_it) —
-    the recursion that replaces InexactCoarseOperator::solve."""
-    cd = c.astype(co.E_inv.dtype)
+    the nested solve dispatches through the *same Krylov stack as the
+    fine level* (level_2_krylov_method: cg | gmres), preconditioned per
+    level_2_schwarz_method (block-Jacobi / overlapping neighbor-block
+    RAS/ASM / none) plus the level-3 deflated correction — the
+    InexactCoarseOperator::solve recursion
+    (HPDDM_inexact_coarse_operator.hpp:741-778)."""
+    anchor = co.E_inv if co.E_inv is not None else co.E
+    cd = c.astype(anchor.dtype)
     if co.mode == "direct":
         return co.E_inv @ cd
 
     E = co.E
-    Minv = co.E_inv                                          # block-Jacobi
+    N_c, mu = cd.shape
 
-    def prec(r):
-        z = Minv @ r
-        if co.E2_inv is not None:
-            # third level: deflated block-Jacobi (two-level additive
-            # Schwarz on the coarse problem — buildThree's role,
-            # HPDDM_inexact_coarse_operator.hpp:1328)
-            z = z + co.Z2 @ (co.E2_inv @ (co.Z2.T @ r))
+    def prec3(r):
+        """(N_c, mu) -> (N_c, mu): level-2 smoother + level-3 correction."""
+        if co.prec == "none":
+            z = r
+        elif co.prec in ("ras", "asm"):
+            rp = jnp.concatenate(
+                [r, jnp.zeros((1, mu), dtype=r.dtype)], axis=0)
+            rg = rp[co.loc_idx]                              # (S, L, mu)
+            zl = jnp.einsum("sab,sbm->sam", co.Eloc_inv, rg)
+            if co.prec == "ras":
+                # restricted: each block keeps only its own rows (the
+                # leading nu_max of its local problem)
+                z = zl[:, : co.nu_max, :].reshape(N_c, mu)
+            else:
+                S_, L_ = co.loc_idx.shape
+                z = jnp.zeros_like(rp)
+                z = z.at[co.loc_idx.reshape(-1)].add(
+                    zl.reshape(S_ * L_, mu))[:N_c]
+        else:                                                # block-Jacobi
+            z = co.E_inv @ r
+        if co.lvl3 != "none" and co.Z2 is not None:
+            z = z + co.Z2 @ _solve_level3(co, co.Z2.T.conj() @ r)
         return z
 
-    r0 = cd
-    z0 = prec(r0)
-    norm = jnp.sqrt(jnp.sum(jnp.abs(cd) ** 2, axis=0))
-    norm = jnp.where(norm > 0, norm, 1.0)
-
-    def cond(carry):
-        y, r, p, rz, it = carry
-        res = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0)) / norm
-        return (it < co.inner_max_it) & jnp.any(res > co.inner_tol)
-
-    def body(carry):
-        y, r, p, rz, it = carry
-        Ep = E @ p
-        pq = jnp.sum(jnp.conj(p) * Ep, axis=0)
-        alpha = rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
-        y = y + alpha[None, :] * p
-        r = r - alpha[None, :] * Ep
-        z = prec(r)
-        rz_new = jnp.sum(jnp.conj(r) * z, axis=0)
-        beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
-        p = z + beta[None, :] * p
-        return (y, r, p, rz_new, it + 1)
-
-    y0 = jnp.zeros_like(cd)
-    rz0 = jnp.sum(jnp.conj(r0) * z0, axis=0)
-    y, *_ = jax.lax.while_loop(cond, body, (y0, r0, z0, rz0, jnp.int32(0)))
-    return y
+    from hpddm_tpu.solvers.base import LinearOperator
+    op = LinearOperator(gmv=lambda x: (E @ x[0])[None],
+                        apply=lambda x: prec3(x[0])[None])
+    if co.method == "gmres":
+        from hpddm_tpu.solvers.gmres import gmres
+        res = gmres(op, cd[None], tol=co.inner_tol, restart=co.restart,
+                    max_it=co.inner_max_it)
+    else:
+        from hpddm_tpu.solvers.cg import cg
+        res = cg(op, cd[None], tol=co.inner_tol, max_it=co.inner_max_it)
+    if return_its:
+        return res.x[0], res.iterations
+    return res.x[0]
 
 
 def _coarse_solve_bsr(co: CoarseState, c: jax.Array,
-                      axis_name: Optional[str] = None) -> jax.Array:
-    """Nested CG on the *block-sparse* coarse problem.
+                      axis_name: Optional[str] = None,
+                      return_its: bool = False):
+    """Nested Krylov on the *block-sparse* coarse problem.
 
     c: (S_loc, nu, mu) block RHS. The matvec is E_diag y + sum_j E_nbr[j]
     y_{nbr(j)}; neighbor block vectors are fetched with a one-hot matmul
     over the (all_gathered when sharded) block vector — the distributed
     analogue of InexactCoarseOperator::GMV (bsrmm + halo,
-    HPDDM_inexact_coarse_operator.hpp:780-792)."""
+    HPDDM_inexact_coarse_operator.hpp:780-792). The solve dispatches
+    through the same Krylov stack as the fine level with the level-2
+    options: method (cg | gmres), preconditioner block-Jacobi /
+    neighbor-block RAS / none, plus the level-3 aggregate correction."""
     cd = c.astype(co.Eb_diag.dtype)
     S_loc, nu, mu = cd.shape
     active = (jnp.arange(nu)[None, :] < co.nu_loc[:, None])  # (S_loc, nu)
@@ -253,51 +327,47 @@ def _coarse_solve_bsr(co: CoarseState, c: jax.Array,
                + jnp.einsum("skab,skbm->sam", co.Eb_nbr, yn))
         return out * act
 
-    def vdot(a, b):
-        return psum_if(jnp.einsum("sam,sam->m", jnp.conj(a), b), axis_name)
-
     def prec(r):
-        z = jnp.einsum("sab,sbm->sam", co.Eb_diag_inv, r) * act
-        if co.E2_inv is not None:
-            # third level: constant-per-block deflation (buildThree's
-            # algebraic core) with the block-structured Z2
+        if co.prec == "none":
+            z = r
+        elif co.prec in ("ras", "asm") and co.Eloc_inv is not None:
+            # one-level block Schwarz with neighbor-block overlap,
+            # restricted (RAS): each block keeps its own rows only, so no
+            # cross-device scatter is needed (asm maps onto ras here)
+            rn = gather_blocks(r)                            # (S, K, nu, mu)
+            rloc = jnp.concatenate([r[:, None], rn], axis=1)
+            rloc = rloc.reshape(S_loc, -1, mu)               # (S, (K+1)nu, mu)
+            zl = jnp.einsum("sab,sbm->sam", co.Eloc_inv, rloc)
+            z = zl[:, :nu, :] * act
+        else:                                                # block-Jacobi
+            z = jnp.einsum("sab,sbm->sam", co.Eb_diag_inv, r) * act
+        if co.lvl3 != "none" and co.E2_inv is not None:
+            # third level: aggregate-constant deflation (buildThree's
+            # algebraic core); aggregates of level_3_aggregate_size blocks
             rc = jnp.sum(r * act, axis=1)                    # (S_loc, mu)
             rc_g = rc if axis_name is None else jax.lax.all_gather(
                 rc, axis_name, axis=0, tiled=True)
-            w = co.E2_inv @ rc_g                             # (S, mu)
+            rc3 = co.agg_oh.T @ rc_g                         # (n3, mu)
+            w3 = _solve_level3(co, rc3)
+            w = co.agg_oh @ w3                               # (S, mu)
             if axis_name is not None:
                 idx = jax.lax.axis_index(axis_name)
                 w = jax.lax.dynamic_slice_in_dim(w, idx * S_loc, S_loc, 0)
             z = z + w[:, None, :] * act
         return z
 
-    r0 = cd
-    z0 = prec(r0)
-    norm = jnp.sqrt(jnp.abs(vdot(cd, cd)))
-    norm = jnp.where(norm > 0, norm, 1.0)
-
-    def cond(carry):
-        y, r, p, rz, it = carry
-        res = jnp.sqrt(jnp.abs(vdot(r, r))) / norm
-        return (it < co.inner_max_it) & jnp.any(res > co.inner_tol)
-
-    def body(carry):
-        y, r, p, rz, it = carry
-        Ep = matvec(p)
-        pq = vdot(p, Ep)
-        alpha = rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
-        y = y + alpha[None, None, :] * p
-        r = r - alpha[None, None, :] * Ep
-        z = prec(r)
-        rz_new = vdot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
-        p = z + beta[None, None, :] * p
-        return (y, r, p, rz_new, it + 1)
-
-    y0 = jnp.zeros_like(cd)
-    rz0 = vdot(r0, z0)
-    y, *_ = jax.lax.while_loop(cond, body, (y0, r0, z0, rz0, jnp.int32(0)))
-    return y
+    from hpddm_tpu.solvers.base import LinearOperator
+    op = LinearOperator(gmv=matvec, apply=prec, axis_name=axis_name)
+    if co.method == "gmres":
+        from hpddm_tpu.solvers.gmres import gmres
+        res = gmres(op, cd, tol=co.inner_tol, restart=co.restart,
+                    max_it=co.inner_max_it)
+    else:
+        from hpddm_tpu.solvers.cg import cg
+        res = cg(op, cd, tol=co.inner_tol, max_it=co.inner_max_it)
+    if return_its:
+        return res.x, res.iterations
+    return res.x
 
 
 def apply(state: SchwarzState, x: jax.Array,
@@ -834,6 +904,57 @@ class Schwarz:
         return "\n".join(lines)
 
     # -- coarse operator ---------------------------------------------------
+    def _coarse_cfg(self) -> dict:
+        """Resolve the level-2 / level-3 option set for inexact coarse
+        solves (the per-level options of HPDDM_inexact_coarse_operator).
+
+        level_2_krylov_method: cg (default; the coarse E is SPD for SPD
+        problems) | gmres. level_2_schwarz_method: ras/oras/soras ->
+        neighbor-block RAS, asm/osm -> ASM, none -> identity; unset ->
+        block-Jacobi (RAS with zero overlap). level_3_krylov_method:
+        unset -> prefactorized direct level-3 solve, none -> no third
+        level, cg/gmres -> nested Jacobi-CG with level_3_{tol,max_it}.
+        level_3_aggregate_size: coarse blocks per level-3 aggregate."""
+        lvl = self.opt.level(2)
+        sm = lvl.val("schwarz_method") if "schwarz_method" in lvl else None
+        prec = {"ras": "ras", "oras": "ras", "soras": "ras",
+                "asm": "asm", "osm": "osm", "none": "none"}.get(sm, "bj")
+        if prec == "osm":
+            prec = "asm"
+        if "krylov_method" in lvl:
+            method = lvl.val("krylov_method")
+        else:
+            # RAS is nonsymmetric — CG stalls on it; pair it with GMRES
+            # like the fine-level nonsymmetric fallback (krylov.py)
+            method = "gmres" if prec == "ras" else "cg"
+        l3 = self.opt.level(3)
+        l3m = l3.val("krylov_method") if "krylov_method" in l3 else None
+        lvl3 = ("none" if l3m == "none" else
+                "cg" if l3m is not None else "direct")
+        return dict(method=method, prec=prec,
+                    restart=int(lvl.val("gmres_restart", 30)),
+                    inner_tol=float(lvl.val("tol", 1e-2)),
+                    inner_max_it=int(lvl.val("max_it", 50)),
+                    lvl3=lvl3, l3_tol=float(l3.val("tol", 1e-2)),
+                    l3_max_it=int(l3.val("max_it", 20)),
+                    agg=max(1, int(l3.val("aggregate_size", 1))))
+
+    def _nbr_blocks(self):
+        """Neighbor subdomain lists from the partner tables (the coarse
+        block sparsity: E_sq != 0 only for subdomains sharing dofs)."""
+        part = np.asarray(self.dec.partners)
+        psub = part // self.dec.m_max
+        S = self.dec.S
+        return [sorted(set(psub[s][psub[s] < S].tolist())) for s in range(S)]
+
+    @staticmethod
+    def _aggregate_ind(S: int, agg: int) -> np.ndarray:
+        """(S, n3) aggregate indicator: blocks s // agg share a column."""
+        n3 = (S + agg - 1) // agg
+        ind = np.zeros((S, n3))
+        ind[np.arange(S), np.arange(S) // agg] = 1.0
+        return ind
+
     def _build_coarse(self, correction: str, dtype) -> CoarseState:
         """Assemble E = Z^T A Z and invert it (replicated coarse solve).
 
@@ -873,25 +994,59 @@ class Schwarz:
             return jnp.linalg.inv(M)
 
         if "krylov_method" in lvl or self.opt.set("level_2_tol"):
-            # inexact coarse solves: nested Krylov with level-2 options
+            # inexact coarse solves: nested Krylov with level-2 options,
+            # dispatched through the same solver stack as the fine level
             N_c = E.shape[0]
             S = self.dec.S
+            cfg = self._coarse_cfg()
             blocks = E.reshape(S, nu_max, S, nu_max)
             diag_blocks = jnp.stack([blocks[s, :, s, :] for s in range(S)])
             binv = _inv(diag_blocks)
             Minv = jax.scipy.linalg.block_diag(
                 *[binv[s] for s in range(S)])
-            # third level: one constant vector per coarse block
-            Z2 = jnp.repeat(jnp.eye(S, dtype=E.dtype), nu_max, axis=0)
-            E2 = Z2.T @ (E @ Z2)
-            E2_inv = _inv(E2 + 1e-12 * jnp.trace(E2) / S
-                          * jnp.eye(S, dtype=E.dtype))
+            # overlapping neighbor-block Schwarz (level_2_schwarz_method)
+            Eloc_inv = loc_idx = None
+            if cfg["prec"] in ("ras", "asm"):
+                hd = (np.complex128 if np.iscomplexobj(np.asarray(E))
+                      else np.float64)
+                E_np = np.asarray(E, dtype=hd)
+                nbrs = self._nbr_blocks()
+                Kl = max((len(nb) for nb in nbrs), default=0)
+                L = (1 + Kl) * nu_max
+                li = np.full((S, L), N_c, dtype=np.int32)
+                El = np.tile(np.eye(L, dtype=hd), (S, 1, 1))
+                for s in range(S):
+                    rows = np.concatenate(
+                        [q * nu_max + np.arange(nu_max)
+                         for q in [s] + nbrs[s]])
+                    li[s, : len(rows)] = rows
+                    El[s, : len(rows), : len(rows)] = E_np[np.ix_(rows,
+                                                                  rows)]
+                Eloc_inv = jnp.asarray(np.linalg.inv(El), dtype=E.dtype)
+                loc_idx = jnp.asarray(li)
+            # third level: aggregate-constant deflation of E (buildThree)
+            ind = self._aggregate_ind(S, cfg["agg"])
+            n3 = ind.shape[1]
+            Z2 = jnp.asarray(np.repeat(ind, nu_max, axis=0), dtype=E.dtype)
+            E2 = Z2.T.conj() @ (E @ Z2)
+            E2 = E2 + (1e-12 * jnp.trace(E2) / n3
+                       * jnp.eye(n3, dtype=E.dtype))
+            if cfg["lvl3"] == "cg":
+                E2_inv = jnp.diag(1.0 / jnp.diag(E2))        # Jacobi
+                E2_keep = E2
+            else:
+                E2_inv, E2_keep = _inv(E2), None
             return CoarseState(Z=Z, E_inv=Minv, E=E,
                                nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
                                correction=correction, mode="iterative",
-                               inner_tol=float(lvl.val("tol", 1e-2)),
-                               inner_max_it=int(lvl.val("max_it", 50)),
-                               E2_inv=E2_inv, Z2=Z2)
+                               inner_tol=cfg["inner_tol"],
+                               inner_max_it=cfg["inner_max_it"],
+                               method=cfg["method"], restart=cfg["restart"],
+                               prec=cfg["prec"], lvl3=cfg["lvl3"],
+                               l3_tol=cfg["l3_tol"],
+                               l3_max_it=cfg["l3_max_it"],
+                               E2_inv=E2_inv, Z2=Z2, E2=E2_keep,
+                               Eloc_inv=Eloc_inv, loc_idx=loc_idx)
         E_inv = _inv(E)
         return CoarseState(Z=Z, E_inv=E_inv, E=None,
                            nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
@@ -963,31 +1118,68 @@ class Schwarz:
         Ed_np = np.asarray(E_diag, dtype=hd)
         Eb_diag_inv = jnp.asarray(np.linalg.inv(Ed_np), dtype=E_diag.dtype)
 
-        # third level: constant-per-block deflation E2 = Z2^T E Z2,
-        # assembled block-wise (S x S, small, host)
+        cfg = self._coarse_cfg()
         En_np = np.asarray(E_nb, dtype=hd)
-        E2 = np.zeros((S, S), dtype=hd)
+
+        # overlapping neighbor-block Schwarz (level_2_schwarz_method):
+        # local problem of block s = {s} u nbrs(s); blocks between two
+        # neighbors of s come from the neighbor's own bsr row (zero when
+        # they do not share dofs). Host setup, O(S * K^2) small blocks.
+        Eloc_inv = None
+        if cfg["prec"] in ("ras", "asm"):
+            L = (K + 1) * nu_max
+            El = np.tile(np.eye(L, dtype=hd), (S, 1, 1))
+            pos = {(s, int(q)): j for s in range(S)
+                   for j, q in enumerate(nbr_sub[s]) if q < S}
+            for s in range(S):
+                ids = [s] + [int(q) for q in nbr_sub[s] if q < S]
+                for a, qa in enumerate(ids):
+                    for b, qb in enumerate(ids):
+                        if qa == qb:
+                            blk = Ed_np[qa]
+                        elif (qa, qb) in pos:
+                            blk = En_np[qa, pos[(qa, qb)]]
+                        else:
+                            continue
+                        El[s, a * nu_max:(a + 1) * nu_max,
+                           b * nu_max:(b + 1) * nu_max] = blk
+            Eloc_inv = jnp.asarray(np.linalg.inv(El), dtype=E_diag.dtype)
+
+        # third level: aggregate-constant deflation E2 = Z2^T E Z2,
+        # assembled block-wise (S x S then aggregated, small, host)
+        E2b = np.zeros((S, S), dtype=hd)
         for s in range(S):
             a = act[s]
-            E2[s, s] = Ed_np[s][np.ix_(a, a)].sum()
+            E2b[s, s] = Ed_np[s][np.ix_(a, a)].sum()
             for j, q in enumerate(nbr_sub[s]):
                 if q < S:
-                    E2[s, q] += En_np[s, j].sum()
-        E2 += 1e-12 * abs(np.trace(E2)) / S * np.eye(S)
-        E2_inv = jnp.asarray(np.linalg.inv(E2), dtype=E_diag.dtype)
+                    E2b[s, q] += En_np[s, j].sum()
+        ind = self._aggregate_ind(S, cfg["agg"])
+        n3 = ind.shape[1]
+        E2 = ind.T @ E2b @ ind
+        E2 += 1e-12 * abs(np.trace(E2)) / n3 * np.eye(n3)
+        if cfg["lvl3"] == "cg":
+            E2_inv = jnp.asarray(np.diag(1.0 / np.diag(E2)),
+                                 dtype=E_diag.dtype)         # Jacobi
+            E2_keep = jnp.asarray(E2, dtype=E_diag.dtype)
+        else:
+            E2_inv = jnp.asarray(np.linalg.inv(E2), dtype=E_diag.dtype)
+            E2_keep = None
 
         oh = np.zeros((S, K, S + 1), dtype=np.float32)
         for s in range(S):
             for j, q in enumerate(nbr_sub[s]):
                 oh[s, j, q] = 1.0
 
-        lvl = self.opt.level(2)
         return CoarseState(
             Z=Z, E_inv=None, nu_loc=jnp.asarray(nu_loc), E=None,
             nu_max=nu_max, correction=correction, mode="bsr",
-            inner_tol=float(lvl.val("tol", 1e-2)),
-            inner_max_it=int(lvl.val("max_it", 50)),
-            E2_inv=E2_inv, Z2=None,
+            inner_tol=cfg["inner_tol"], inner_max_it=cfg["inner_max_it"],
+            method=cfg["method"], restart=cfg["restart"], prec=cfg["prec"],
+            lvl3=cfg["lvl3"], l3_tol=cfg["l3_tol"],
+            l3_max_it=cfg["l3_max_it"],
+            E2_inv=E2_inv, Z2=None, E2=E2_keep, Eloc_inv=Eloc_inv,
+            agg_oh=jnp.asarray(ind, dtype=E_diag.dtype),
             Eb_diag=E_diag, Eb_nbr=E_nb,
             Eb_diag_inv=Eb_diag_inv, nbr_oh=jnp.asarray(oh))
 

@@ -170,3 +170,37 @@ def test_bgcrodr_fused_true_block():
         rel = np.linalg.norm(rr, axis=0) / np.linalg.norm(np.asarray(b)[0],
                                                           axis=0)
         assert rel.max() < 1e-7
+
+
+def test_recycling_across_solves_via_options():
+    """Cross-solve recycling through the option system alone: the (U, C)
+    pair persists in Options' per-prefix storage (the analogue of
+    OptionsPrefix::storage_, HPDDM_option.hpp:444-461) — the second
+    solve() of the same system must start from the recycled space and
+    converge in fewer iterations, and -hpddm_recycle_same_system must
+    skip the re-projection without losing the gain."""
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.solvers.krylov import solve
+
+    n = 120
+    A = _laplacian_1d(n)
+    op = _op(A)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=(1, n, 1)))
+
+    opt = Options(krylov_method="gcrodr", recycle=8, gmres_restart=15,
+                  tol=1e-8, max_it=1000)
+    r1 = solve(op, b, opt=opt)
+    assert opt.storage() is not None          # space was stored
+    r2 = solve(op, b, opt=opt)                # reuses it automatically
+    assert int(r2.iterations) < int(r1.iterations), (
+        int(r1.iterations), int(r2.iterations))
+
+    opt["recycle_same_system"] = 1
+    r3 = solve(op, b, opt=opt)
+    assert int(r3.iterations) <= int(r2.iterations) + 2
+
+    # a fresh Options has no storage: back to the cold count
+    r4 = solve(op, b, opt=Options(krylov_method="gcrodr", recycle=8,
+                                  gmres_restart=15, tol=1e-8, max_it=1000))
+    assert int(r4.iterations) == int(r1.iterations)

@@ -128,3 +128,44 @@ def test_object_prefix():
     res = solve(state, f, opt=sch.opt, prefix="my_")
     nb, nr = compute_residual(state, res.x, f)
     assert float(nr[0] / nb[0]) < 1e-2
+
+
+@pytest.mark.parametrize("qr", ["cholqr", "cgs", "mgs"])
+def test_qr_sweep_block_methods(qr):
+    """-hpddm_qr (cholqr | cgs | mgs): the distributed QR variants
+    (HPDDM_iterative.hpp:559-666) must all drive the block solvers to the
+    same solution."""
+    gen, sch, f = _setup()
+    rng = np.random.default_rng(7)
+    fm = jnp.asarray(np.concatenate(
+        [np.asarray(f)] + [np.asarray(f) * 0 + rng.normal(
+            size=np.asarray(f).shape) for _ in range(2)], axis=2))
+    fm = sch.exchange_rhs(fm)   # random RHS must be consistent on overlaps
+    sols = {}
+    for method in ("bgmres", "bfbcg"):
+        sch.opt["krylov_method"] = method
+        sch.opt["qr"] = qr
+        sch.opt["tol"] = 1e-9
+        sch.opt["max_it"] = 300
+        state = sch.build()
+        res = solve(state, fm, opt=sch.opt)
+        nb, nr = compute_residual(state, res.x, fm)
+        assert float(np.max(np.asarray(nr) / np.asarray(nb))) < 1e-6, (
+            method, qr)
+        sols[method] = np.asarray(res.x)
+    np.testing.assert_allclose(sols["bgmres"], sols["bfbcg"],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cgs2_orthogonalization():
+    """cgs2 (iterated CGS, the f32 default) converges and matches mgs
+    iteration counts on the oracle problem."""
+    its = {}
+    for ortho in ("cgs2", "mgs"):
+        gen, sch, f = _setup(orthogonalization=ortho)
+        state = sch.build()
+        res = solve(state, f, opt=sch.opt)
+        nb, nr = compute_residual(state, res.x, f)
+        assert float(nr[0] / nb[0]) < 1e-2, ortho
+        its[ortho] = int(res.iterations)
+    assert abs(its["cgs2"] - its["mgs"]) <= 2, its
