@@ -42,6 +42,11 @@ from hpddm_tpu.parallel.decomposition import Decomposition
 from hpddm_tpu.parallel.ops import exchange, psum_if, scaled_exchange
 
 
+# dense Galerkin assembly memory cap: above this the coarse build
+# auto-switches to the block-sparse path (see Schwarz._build_coarse)
+_DENSE_COARSE_BYTES_CAP = 2 << 30
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CoarseState:
@@ -120,6 +125,11 @@ class SchwarzState:
     variant: str = dataclasses.field(metadata=dict(static=True))
     # 'ras' | 'asm' | 'oras' | 'soras' | 'osm' | 'none'
     # (Prcndtnr::{GE,SY,OG,OS,NO}, HPDDM_schwarz.hpp:104-110)
+    # Dirichlet boundary-condition values per row (Subdomain::boundaryCond,
+    # HPDDM_subdomain.hpp:310-336): a_ii on detected boundary rows, 0
+    # elsewhere; None when no such rows exist. Used by `start` to seed the
+    # initial guess exactly on penalized/identity rows.
+    bc: Optional[jax.Array] = None
 
 
 # ----------------------------------------------------------------------
@@ -370,6 +380,23 @@ def _coarse_solve_bsr(co: CoarseState, c: jax.Array,
     return res.x
 
 
+def start(state: SchwarzState, b: jax.Array,
+          x0: Optional[jax.Array] = None,
+          axis_name: Optional[str] = None) -> jax.Array:
+    """Initial guess with Dirichlet rows seeded exactly (Schwarz::start,
+    HPDDM_schwarz.hpp:496-514): x_i = b_i / a_ii on detected boundary
+    rows (penalty-scale or identity diagonals), then one scaled exchange
+    so duplicated copies agree. Identity when no boundary rows exist."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bc = state.bc
+    if bc is None:
+        return x
+    mask = jnp.abs(bc) > HPDDM_EPS
+    seed = b / jnp.where(mask, bc, 1.0).astype(b.dtype)[:, :, None]
+    x = jnp.where(mask[:, :, None], seed, x)
+    return scaled_exchange(state.dec, x, axis_name)
+
+
 def apply(state: SchwarzState, x: jax.Array,
           axis_name: Optional[str] = None) -> jax.Array:
     """Full preconditioner apply (HPDDM_schwarz.hpp:527-612).
@@ -474,6 +501,35 @@ class Schwarz:
         self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
+
+    def _boundary_conditions(self):
+        """(S, n_max) Dirichlet-row diagonal values (0 elsewhere), internal
+        numbering; None when no boundary rows exist.
+
+        Row i is a boundary row when its diagonal is penalty-scale
+        (>= HPDDM_EPS * HPDDM_PEN — penalty rows keep their off-diagonals
+        in the reference too), or when its off-diagonals vanish and the
+        diagonal is ~1 (an eliminated identity row). The TPU-batched
+        re-expression of Subdomain::boundaryCond
+        (HPDDM_subdomain.hpp:310-336); host-side, once at setup."""
+        import scipy.sparse as sp
+        mats = self._permuted(self.mats)
+        bc = np.zeros((self.dec.S, self.n_max),
+                      dtype=np.asarray(mats[0].scipy().data).dtype)
+        found = False
+        for s, m in enumerate(mats):
+            csr = m.scipy(expand=True).tocsr()
+            n = csr.shape[0]
+            diag = np.asarray(csr.diagonal())
+            off = csr - sp.diags(diag)
+            off_max = np.abs(off).max(axis=1).toarray().ravel()
+            pen = np.abs(diag) >= HPDDM_EPS * HPDDM_PEN
+            iden = (off_max <= HPDDM_EPS) & (np.abs(diag - 1.0) <= HPDDM_EPS)
+            rows = pen | iden
+            if rows.any():
+                found = True
+                bc[s, :n][rows] = diag[rows]
+        return jnp.asarray(bc) if found else None
 
     def _permuted(self, mats: Sequence[MatrixCSR]) -> List[MatrixCSR]:
         """Apply the decomposition's interface-first renumbering to local
@@ -733,7 +789,8 @@ class Schwarz:
             if correction is not None:
                 coarse = self._build_coarse(correction, jnp.dtype(dt))
             state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
-                                 coarse=coarse, variant=variant)
+                                 coarse=coarse, variant=variant,
+                                 bc=self._boundary_conditions())
             self._state = state
             return state
         if local_kind == "banded":
@@ -759,7 +816,8 @@ class Schwarz:
             if correction is not None:
                 coarse = self._build_coarse(correction, jnp.dtype(dt))
             state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
-                                 coarse=coarse, variant=variant)
+                                 coarse=coarse, variant=variant,
+                                 bc=self._boundary_conditions())
             self._state = state
             return state
         if local_kind in ("cheby", "dst_cheby"):
@@ -794,7 +852,8 @@ class Schwarz:
             if correction is not None:
                 coarse = self._build_coarse(correction, jnp.dtype(dt))
             state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
-                                 coarse=coarse, variant=variant)
+                                 coarse=coarse, variant=variant,
+                                 bc=self._boundary_conditions())
             self._state = state
             return state
         if self.optimized_mats is not None and \
@@ -814,7 +873,8 @@ class Schwarz:
             coarse = self._build_coarse(correction, A_fact.dtype)
 
         state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
-                             coarse=coarse, variant=variant)
+                             coarse=coarse, variant=variant,
+                             bc=self._boundary_conditions())
         self._state = state
         dump = opt.val("dump_matrices")
         if dump:
@@ -975,7 +1035,28 @@ class Schwarz:
             Z[s, : v.shape[0], : v.shape[1]] = v
         Z = jnp.asarray(Z, dtype=dtype)
 
-        if (self.opt.val("coarse_assembly") or "dense") == "bsr":
+        assembly = self.opt.val("coarse_assembly") or "dense"
+        if assembly != "bsr":
+            # the dense Galerkin assembly materializes an (S, n, S*nu)
+            # tensor — O(S^2) memory. Auto-switch to the O(S*neighbors)
+            # block-sparse path when it would cross ~2 GB (S=64 at 66k
+            # dofs is ~17 GB dense); an explicit coarse_assembly=dense
+            # request is honored with a warning instead.
+            bytes_dense = (S * self.n_max * S * nu_max
+                           * jnp.zeros(0, dtype).dtype.itemsize)
+            if bytes_dense > _DENSE_COARSE_BYTES_CAP:
+                if self.opt.set("coarse_assembly"):
+                    print(f"WARNING -- coarse_assembly=dense materializes "
+                          f"{bytes_dense / (1 << 30):.1f} GB "
+                          f"(S={S}, nu={nu_max}); consider bsr")
+                else:
+                    if int(self.opt.val("verbosity", 0)) >= 1:
+                        print(f"coarse assembly auto-switched to bsr "
+                              f"(dense would take "
+                              f"{bytes_dense / (1 << 30):.1f} GB)")
+                    return self._build_coarse_bsr(correction, dtype, Z,
+                                                  nu_loc, nu_max)
+        else:
             return self._build_coarse_bsr(correction, dtype, Z, nu_loc,
                                           nu_max)
         E = self._assemble_E(Z, nu_loc, nu_max, dtype)

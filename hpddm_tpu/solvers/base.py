@@ -33,12 +33,24 @@ class LinearOperator:
                  gmv: Callable[[jax.Array], jax.Array],
                  apply: Optional[Callable[[jax.Array], jax.Array]] = None,
                  weight: Optional[jax.Array] = None,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None,
+                 norm_filter: Optional[Callable[[jax.Array],
+                                                jax.Array]] = None):
         self.gmv = gmv
         self.apply = apply if apply is not None else (lambda x: x)
         self.weight = weight
         self.axis_name = axis_name
         self.has_prec = apply is not None
+        # optional filter applied to b before the convergence reference
+        # norm (IterativeMethod::initializeNorm downscales Dirichlet-
+        # penalty entries by HPDDM_PEN, HPDDM_iterative.hpp:455-470)
+        self.norm_filter = norm_filter
+
+    def init_norm_sq(self, b: jax.Array) -> jax.Array:
+        """Convergence-reference squared norm of b (penalty-filtered)."""
+        if self.norm_filter is not None:
+            b = self.norm_filter(b)
+        return self.norm_sq(b)
 
     # -- weighted reductions (the per-iteration collectives) --------------
     def dot(self, x: jax.Array, y: jax.Array) -> jax.Array:

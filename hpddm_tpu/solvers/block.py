@@ -49,6 +49,15 @@ def _psd_pinv(G: jax.Array, rtol: float) -> jax.Array:
     return (v * inv_w[None, :]) @ jnp.conj(v).T
 
 
+
+def _init_norm(op: LinearOperator, b: jax.Array, rdtype):
+    """Per-RHS convergence reference norms, penalty-filtered
+    (initializeNorm, HPDDM_iterative.hpp:455-470)."""
+    fb = op.norm_filter(b) if op.norm_filter is not None else b
+    return jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, fb, fb))))\
+        .astype(rdtype)
+
+
 def _chol_qr(op: LinearOperator, V: jax.Array, rtol: float = 1e-14):
     """Distributed CholQR of a block V (S, n, mu): V = Q R
     (HPDDM_iterative.hpp:559-582). Returns (Q, R). Rank-deficient columns
@@ -125,7 +134,7 @@ def bgmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     flexible = variant == "flexible"
 
     nb = op.apply(b) if left else b
-    norm = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, nb, nb)))).astype(rdtype)
+    norm = _init_norm(op, nb, rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):
@@ -253,7 +262,7 @@ def bcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     mu = b.shape[-1]
     rtol = 1e-12 if deflation_tol <= 0 else deflation_tol
 
-    norm = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, b, b)))).astype(rdtype)
+    norm = _init_norm(op, b, rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):
@@ -311,7 +320,7 @@ def bfbcg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     mu = b.shape[-1]
     dtol = deflation_tol if deflation_tol > 0 else 1e-8
 
-    norm = jnp.sqrt(jnp.abs(jnp.diagonal(_block_dot(op, b, b)))).astype(rdtype)
+    norm = _init_norm(op, b, rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):

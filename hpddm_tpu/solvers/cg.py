@@ -36,7 +36,7 @@ def cg(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     rdtype = underlying(b.dtype)
     mu = b.shape[-1]
 
-    norm = jnp.sqrt(op.norm_sq(b)).astype(rdtype)
+    norm = jnp.sqrt(op.init_norm_sq(b)).astype(rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):

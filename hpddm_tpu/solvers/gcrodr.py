@@ -153,8 +153,8 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
     def op_apply(x):
         return op.gmv(prec(x))
 
-    norm = jnp.sqrt(jnp.abs(jnp.diagonal(
-        _block_dot(op, b, b)))).astype(rdtype)
+    from hpddm_tpu.solvers.block import _init_norm
+    norm = _init_norm(op, b, rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     x = x0
@@ -365,7 +365,7 @@ def gcrodr(op: LinearOperator, b: jax.Array,
         return prec(op.gmv(x)) if left else op.gmv(prec(x))
 
     b_eff = prec(b) if left else b
-    norm = jnp.sqrt(op.norm_sq(b_eff)).astype(rdtype)
+    norm = jnp.sqrt(op.init_norm_sq(b_eff)).astype(rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     x = x0

@@ -99,7 +99,7 @@ def gmres(op: LinearOperator, b: jax.Array, x0: Optional[jax.Array] = None,
     # Reference initializeNorm: the convergence reference norm is ||b|| for
     # right/flexible, ||M^-1 b|| for left (HPDDM_iterative.hpp:922-onwards).
     nb = op.apply(b) if left else b
-    norm = jnp.sqrt(op.norm_sq(nb)).astype(rdtype)
+    norm = jnp.sqrt(op.init_norm_sq(nb)).astype(rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):

@@ -26,11 +26,22 @@ def make_operator(A, axis_name: Optional[str] = None) -> LinearOperator:
     if isinstance(A, LinearOperator):
         return A
     if isinstance(A, _schwarz.SchwarzState):
+        norm_filter = None
+        if A.bc is not None:
+            from hpddm_tpu.dtypes import HPDDM_EPS, HPDDM_PEN
+
+            def norm_filter(b, _bc=A.bc):
+                # initializeNorm (HPDDM_iterative.hpp:455-470): penalty
+                # entries contribute b_i / PEN to the reference norm
+                big = (jnp.abs(_bc[:, :, None]) > HPDDM_EPS) & \
+                      (jnp.abs(b) > HPDDM_EPS * HPDDM_PEN)
+                return jnp.where(big, b / HPDDM_PEN, b)
         return LinearOperator(
             gmv=lambda x: _schwarz.gmv(A, x, axis_name),
             apply=lambda x: _schwarz.apply(A, x, axis_name),
             weight=A.dec.d,
             axis_name=axis_name,
+            norm_filter=norm_filter,
         )
     raise TypeError(f"cannot build an operator from {type(A)}")
 
@@ -85,6 +96,13 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
 
     if b.ndim == 2:  # (S, n) convenience -> single RHS
         b = b[:, :, None]
+
+    from hpddm_tpu.precond import schwarz as _schwarz
+    if (x0 is None and isinstance(A, _schwarz.SchwarzState)
+            and A.bc is not None):
+        # Schwarz::start (HPDDM_schwarz.hpp:496-514): seed the initial
+        # guess exactly on detected Dirichlet rows
+        x0 = _schwarz.start(A, b, axis_name=axis_name)
         if x0 is not None and x0.ndim == 2:
             x0 = x0[:, :, None]
 

@@ -21,7 +21,7 @@ def richardson(op: LinearOperator, b: jax.Array,
         x0 = jnp.zeros_like(b)
     rdtype = underlying(b.dtype)
     mu = b.shape[-1]
-    norm = jnp.sqrt(op.norm_sq(b)).astype(rdtype)
+    norm = jnp.sqrt(op.init_norm_sq(b)).astype(rdtype)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     class Carry(NamedTuple):

@@ -130,3 +130,24 @@ def test_level2_ras_dense_mode():
         res = solve(state, f, opt=sch.opt)
         nb, nr = compute_residual(state, res.x, f)
         assert float(nr[0] / nb[0]) < 1e-2, method
+
+
+def test_dense_coarse_auto_switches_to_bsr(monkeypatch, capsys):
+    """Above the memory cap the coarse build must pick the O(S*neighbors)
+    bsr path by default, and honor (with a warning) an explicit
+    coarse_assembly=dense request."""
+    from hpddm_tpu.precond import schwarz as sz
+    monkeypatch.setattr(sz, "_DENSE_COARSE_BYTES_CAP", 1)  # force trigger
+    gen, sch, f = _setup(4, 40, 40, schwarz_coarse_correction="deflated",
+                         geneo_nu=2)
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    assert state.coarse.mode == "bsr"
+    res = solve(state, f, opt=sch.opt)
+    nb, nr = compute_residual(state, res.x, f)
+    assert float(nr[0] / nb[0]) < 1e-2
+
+    sch.opt["coarse_assembly"] = "dense"
+    state_d = sch.build()
+    assert state_d.coarse.mode == "direct"
+    assert "WARNING" in capsys.readouterr().out
