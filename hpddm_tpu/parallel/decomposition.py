@@ -30,6 +30,60 @@ from hpddm_tpu.core.csr import MatrixCSR
 from hpddm_tpu.core.formats import pack_local_matrices
 
 
+def restrict_pou(neighbors, mappings, d_list) -> bool:
+    """Round a partition of unity to boolean ownership in place
+    (``Schwarz::restriction``, HPDDM_schwarz.hpp:277-333).
+
+    Every shared dof whose value is fractional — or whose copies do not
+    sum to 1 — is assigned to the sharer with the strictly largest value
+    (ties to the higher subdomain id): that copy becomes 1, the others 0.
+    Returns whether anything changed. d_list: per-subdomain (n_s,) arrays,
+    caller numbering, modified in place."""
+    from hpddm_tpu.native import uf_resolve
+    S = len(neighbors)
+    n_loc = np.array([len(d) for d in d_list], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_loc)])
+    pa, pb = [], []
+    for s in range(S):
+        for q, idx in zip(neighbors[s], mappings[s]):
+            if q < s:
+                continue
+            pos = list(neighbors[q]).index(s)
+            pa.append(offsets[s] + np.asarray(idx, dtype=np.int64))
+            pb.append(offsets[q] + np.asarray(mappings[q][pos],
+                                              dtype=np.int64))
+    roots = uf_resolve(int(offsets[-1]),
+                       np.concatenate(pa) if pa else np.zeros(0, np.int64),
+                       np.concatenate(pb) if pb else np.zeros(0, np.int64))
+    flat = np.concatenate([np.asarray(dd, dtype=np.float64)
+                           for dd in d_list])
+    members: dict = {}
+    for g, r in enumerate(roots):
+        members.setdefault(int(r), []).append(g)
+    eps = 1.0e-12
+    changed = False
+    for mem in members.values():
+        if len(mem) == 1:
+            continue
+        vals = flat[mem]
+        fractional = np.any((np.abs(vals - 1.0) > eps)
+                            & (np.abs(vals) > eps))
+        if not fractional and abs(vals.sum() - 1.0) <= eps:
+            continue
+        # winner: largest value; ties to the higher subdomain id (members
+        # are in ascending subdomain order, so take the last argmax)
+        win = len(vals) - 1 - int(np.argmax(vals[::-1]))
+        new = np.zeros_like(vals)
+        new[win] = 1.0
+        if not np.allclose(new, vals, atol=eps):
+            changed = True
+            flat[mem] = new
+    if changed:
+        for s in range(S):
+            d_list[s][:] = flat[offsets[s]: offsets[s + 1]]
+    return changed
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Decomposition:

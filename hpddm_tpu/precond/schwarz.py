@@ -38,7 +38,8 @@ from hpddm_tpu.dtypes import HPDDM_EPS, HPDDM_PEN
 from hpddm_tpu.ops.local_solve import LocalSolver, factorize
 from hpddm_tpu.ops.spmv import spmm
 from hpddm_tpu.options import Options
-from hpddm_tpu.parallel.decomposition import Decomposition
+from hpddm_tpu.parallel.decomposition import Decomposition, restrict_pou \
+    as _restrict_pou
 from hpddm_tpu.parallel.ops import exchange, psum_if, scaled_exchange
 
 
@@ -495,12 +496,85 @@ class Schwarz:
                                                  d=d, renumber=renumber,
                                                  dtype=dec_dt)
         self.mats = list(mats)           # original numbering (dump/stats)
+        self.neighbors = [list(nb) for nb in neighbors]
+        self.mappings = [[np.asarray(m, dtype=np.int64) for m in ms]
+                         for ms in mappings]
         self.n_max = self.dec.n_max
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
         self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
+
+    def exchange_matrices(self) -> None:
+        """Algebraic matrix-overlap exchange: the matrix variant of
+        ``Schwarz::exchange()`` (HPDDM_schwarz.hpp:190-275).
+
+        For every neighbor pair with aligned shared-index lists, the
+        sharer whose POU is nonzero on a shared row sends that row's
+        entries restricted to the shared columns; receivers *overwrite*
+        the values at positions already present in their sparsity (the
+        pattern is preserved, exactly like the reference's assignment
+        into the existing ja_). This lets overlap blocks of local
+        matrices be completed/refreshed from a distributed assembled
+        matrix — e.g. non-owner copies built with stale or missing
+        values. Senders apply in ascending subdomain id, so the result
+        is deterministic (the reference's Waitany order is not).
+        Host-side setup; repacks the device operator afterwards."""
+        import scipy.sparse as sp
+        S = self.dec.S
+        # POU in the caller numbering (dec.d is in internal numbering)
+        d_int = np.asarray(self.dec.d)
+        d = np.zeros_like(d_int)
+        if self.dec.renumbered:
+            perm = np.asarray(self.dec.perm)
+            for s in range(S):
+                d[s][perm[s]] = d_int[s]
+        else:
+            d = d_int
+        csrs = [m.scipy(expand=True).tocsr() for m in self.mats]
+        out = [c.tolil() for c in csrs]
+        for s in range(S):
+            A_s = csrs[s]
+            for q, idx_s in zip(self.neighbors[s], self.mappings[s]):
+                pos = list(self.neighbors[q]).index(s)
+                idx_q = self.mappings[q][pos]
+                rows = np.nonzero(d[s][idx_s] > HPDDM_EPS)[0]
+                if len(rows) == 0:
+                    continue
+                sub_s = A_s[idx_s][:, idx_s].tocoo()
+                pat_q = csrs[q][idx_q][:, idx_q].astype(bool).tolil()
+                for j, k, v in zip(sub_s.row, sub_s.col, sub_s.data):
+                    if d[s][idx_s[j]] > HPDDM_EPS and pat_q[j, k]:
+                        out[q][idx_q[j], idx_q[k]] = v
+        self.update_matrices([MatrixCSR(sp.csr_matrix(m)) for m in out])
+
+    def restriction(self) -> bool:
+        """Boolean rounding of the partition of unity
+        (``Schwarz::restriction``, HPDDM_schwarz.hpp:277-333): every dof
+        whose POU is fractional (or whose copies do not sum to 1) is
+        assigned to the sharer with the largest value (ties to the
+        higher subdomain id) — that copy gets 1, the others 0. Rebuilds
+        the decomposition with the rounded POU; returns whether any
+        value changed."""
+        d_int = np.asarray(self.dec.d)
+        d = np.zeros_like(d_int)
+        if self.dec.renumbered:
+            perm = np.asarray(self.dec.perm)
+            for s in range(self.dec.S):
+                d[s][perm[s]] = d_int[s]
+        else:
+            d = d_int.copy()
+        d_list = [d[s][: self.mats[s].n].copy()
+                  for s in range(self.dec.S)]
+        changed = _restrict_pou(self.neighbors, self.mappings, d_list)
+        if changed:
+            self.dec = Decomposition.from_subdomains(
+                self.neighbors, self.mappings,
+                [m.n for m in self.mats], d=d_list, scaling="given",
+                renumber=self.dec.renumbered, dtype=d_int.dtype)
+            self._state = None
+        return changed
 
     def _boundary_conditions(self):
         """(S, n_max) Dirichlet-row diagonal values (0 elsewhere), internal
