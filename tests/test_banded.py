@@ -218,3 +218,33 @@ def test_banded_dense_coupling_elasticity():
     # larger roundoff on the penalty-clamped (cond ~ 1e10) blocks, so
     # iteration counts may wiggle slightly — no blow-up allowed
     assert abs(its["banded"] - its["inv"]) <= 5, its
+
+
+def test_factor_cache_round_trip(tmp_path, monkeypatch):
+    """HPDDM_TPU_FACTOR_CACHE: the reloaded factors must be bit-identical
+    to a fresh build (they are stored rounded), keyed by matrix content."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.ops.banded_solve import build_banded_solver
+
+    gen = diffusion2d.generate_uniform(4, 48, 48, overlap=1)
+    n_max = max(m.n for m in gen.mats)
+    monkeypatch.setenv("HPDDM_TPU_FACTOR_CACHE", str(tmp_path))
+    s1 = build_banded_solver(gen.mats, gen.boxes, n_max, dtype=jnp.float64)
+    assert len(os.listdir(tmp_path)) == 1
+    s2 = build_banded_solver(gen.mats, gen.boxes, n_max, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(s1.Dinv), np.asarray(s2.Dinv))
+    b = jnp.asarray(np.random.default_rng(0).normal(size=(4, n_max, 1)))
+    np.testing.assert_array_equal(np.asarray(s1.solve(b)),
+                                  np.asarray(s2.solve(b)))
+    # a different matrix must miss the cache (content-keyed)
+    gen2 = diffusion2d.generate_uniform(4, 48, 48, overlap=1)
+    gen2.mats[0].scipy()  # same content -> same key; now perturb
+    import scipy.sparse as sp
+    from hpddm_tpu.core.csr import MatrixCSR
+    m0 = gen2.mats[0].scipy(expand=True).tocsr() * 1.5
+    mats2 = [MatrixCSR(sp.csr_matrix(m0))] + list(gen2.mats[1:])
+    build_banded_solver(mats2, gen2.boxes, n_max, dtype=jnp.float64)
+    assert len(os.listdir(tmp_path)) == 2

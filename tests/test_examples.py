@@ -20,9 +20,21 @@ def _run(args, timeout=500):
         f"sys.argv = ['x'] + {args[1:]!r}; "
         f"import runpy; runpy.run_path({os.path.join(ROOT, args[0])!r}, "
         "run_name='__main__')")
-    return subprocess.run([sys.executable, "-c", bootstrap], cwd=ROOT,
-                          env=ENV, timeout=timeout, capture_output=True,
-                          text=True)
+    # load-aware timeout: these subprocesses are CPU-bound and slow down
+    # proportionally when the host is contended (e.g. two suites
+    # overlapping) — scale the budget by the current load per core
+    load = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    budget = timeout * max(1.0, min(4.0, load / ncpu + 1.0))
+    try:
+        return subprocess.run([sys.executable, "-c", bootstrap], cwd=ROOT,
+                              env=ENV, timeout=budget, capture_output=True,
+                              text=True)
+    except subprocess.TimeoutExpired:
+        # one retry: transient contention, not a driver failure
+        return subprocess.run([sys.executable, "-c", bootstrap], cwd=ROOT,
+                              env=ENV, timeout=budget, capture_output=True,
+                              text=True)
 
 
 @pytest.mark.parametrize("args", [
