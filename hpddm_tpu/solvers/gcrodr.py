@@ -343,15 +343,21 @@ def gcrodr(op: LinearOperator, b: jax.Array,
            recycle: int = 0, target: str = "SM", block: bool = False,
            recycled: Optional[RecycledSpace] = None,
            same_system: bool = False, strategy: str = "A") -> GCRODRResult:
-    """Solve with GCRO-DR. mu must be 1 (pseudo-block recycling of several
-    RHS shares one space via the block variant, not implemented per-RHS)."""
+    """Solve with GCRO-DR, pseudo-block over the trailing RHS axis.
+
+    mu > 1 mirrors the reference's pseudo-block GCRODR
+    (HPDDM_GCRODR.hpp:35-444: per-RHS interleaved Hessenberg ``H[i] + nu``,
+    per-RHS recycled slabs ``U + nu * n`` regenerated in the
+    ``for nu < mu`` loop at :249): every RHS keeps its own Hessenberg,
+    Givens rotations, and recycled (U, C) pair, while the operator and
+    preconditioner applications are fused over all RHS in one batched
+    call. Internally U and C are (S, n, k, mu); a stored mu=1 space is
+    exposed as (S, n, k) for compatibility and broadcast to mu > 1 on
+    entry (each RHS then refines its own copy)."""
     del block  # BGCRODR shares this code path for now via mu-fused blocks
     if x0 is None:
         x0 = jnp.zeros_like(b)
     S, n, mu = b.shape
-    if mu != 1:
-        raise NotImplementedError("GCRODR currently supports mu=1; use "
-                                  "bgmres/bfbcg for blocks")
     dtype = b.dtype
     rdtype = underlying(dtype)
     m = int(restart)
@@ -365,117 +371,146 @@ def gcrodr(op: LinearOperator, b: jax.Array,
         return prec(op.gmv(x)) if left else op.gmv(prec(x))
 
     b_eff = prec(b) if left else b
-    norm = jnp.sqrt(op.init_norm_sq(b_eff)).astype(rdtype)
+    norm = jnp.sqrt(op.init_norm_sq(b_eff)).astype(rdtype)     # (mu,)
     norm = jnp.where(norm < HPDDM_EPS, 1.0, norm)
 
     x = x0
     r = b_eff - (prec(op.gmv(x)) if left else op.gmv(x))
 
     U = C = None
-    if k and recycled is not None:
+    if k and recycled is not None and recycled.U is not None:
         U, C = recycled.U, recycled.C
+        if U.ndim == 3:                       # stored mu=1 layout (S, n, k)
+            U, C = U[..., None], C[..., None]
+        if U.shape[-1] == 1 and mu > 1:       # broadcast to every RHS
+            U = jnp.tile(U, (1, 1, 1, mu))
+            C = jnp.tile(C, (1, 1, 1, mu))
+        if U.shape[-1] != mu or U.shape[2] != k:
+            U = C = None                      # incompatible stored space
+    if U is not None:
         if not same_system:
             # re-project for the (possibly) new operator: C = Q of op(U)
-            AU = _apply_cols(op_apply, U)
-            Q, Rfac = _tall_qr(op, AU)
-            C = Q
-            U = _solve_right_tri(U, Rfac)
-        cr = op.gram(_cols_to_stack(C), r)[:, 0]               # (k,)
-        x = x + (prec(_lincomb(U, cr)) if not left else _lincomb(U, cr))
-        r = r - _lincomb(C, cr)
+            AU = _apply_cols_mu(op_apply, U)
+            C, Rfac = _tall_qr_mu(op, AU)
+            U = _solve_right_tri_mu(U, Rfac)
+        cr = _gram_cols(op, C, r)                              # (k, mu)
+        Ucr = jnp.einsum("snkm,km->snm", U, cr)
+        x = x + (Ucr if left else prec(Ucr))
+        r = r - jnp.einsum("snkm,km->snm", C, cr)
 
     it = 1
-    first_it = 0
+    first_it = np.zeros(mu, dtype=np.int64)
     total_cap = int(max_it)
-    res_hist = np.inf
 
     while it <= total_cap:
         p = m - (k if U is not None else 0)
-        beta = jnp.sqrt(op.norm_sq(r)).astype(rdtype)[0]
-        if float(beta) <= float(tol * norm[0]) and it > 1:
+        beta = jnp.sqrt(op.norm_sq(r)).astype(rdtype)          # (mu,)
+        if it > 1 and bool(
+                np.all(np.asarray(beta) <= float(tol) * np.asarray(norm))):
             break
-        V, H, B, crossing, res_hist = _arnoldi_cycle(
-            op, op_apply, r, beta, p, U, C, float(tol), np.asarray(norm)[0],
+        V, H_np, B_np, crossing, _ = _arnoldi_cycle(
+            op, op_apply, r, beta, p, U, C, float(tol), np.asarray(norm),
             it, total_cap)
-        # H: (p+1, p) numpy, B: (k, p) numpy, crossing: first global it
-        # index crossing tol within this cycle (0 if none)
+        # H: (p+1, p, mu) numpy, B: (k, p, mu) numpy, crossing: (mu,) first
+        # global it index crossing tol within this cycle (0 if none)
         steps = min(p, total_cap - it + 1)
-        used = int(crossing - it + 1) if crossing else steps
+        if np.all(crossing > 0):
+            used = int(crossing.max() - it + 1)
+        else:
+            used = steps
         used = max(min(used, steps), 0)
 
-        # LS solve on the small system
-        H_np, B_np = H, B
-        y, ls_res = _ls_solve(H_np, float(beta), used)
+        # per-RHS LS solves on the small systems
+        beta_np = np.asarray(beta)
+        y = np.zeros((p, mu), dtype=H_np.dtype)
+        for nu in range(mu):
+            y[:, nu], _ = _ls_solve(H_np[:, :, nu], float(beta_np[nu]), used)
         dx_coef = jnp.asarray(y, dtype=dtype)
-        Vy = jnp.einsum("j,jsnm->snm", dx_coef, V[:p])
+        upd = jnp.einsum("jm,jsnm->snm", dx_coef, V[:p])
         if U is not None:
-            z_coef = -jnp.asarray(B_np[:, :used] @ y[:used], dtype=dtype)
-            upd = Vy + _lincomb(U, z_coef)
-        else:
-            upd = Vy
+            z_coef = -np.einsum("kjm,jm->km", B_np[:, :used], y[:used])
+            upd = upd + jnp.einsum("snkm,km->snm", U,
+                                   jnp.asarray(z_coef, dtype=dtype))
         x = x + (upd if left else prec(upd))
         r = b_eff - (prec(op.gmv(x)) if left else op.gmv(x))
 
-        if first_it == 0 and crossing:
-            first_it = int(crossing)
+        newly = (first_it == 0) & (crossing > 0)
+        first_it[newly] = crossing[newly]
 
-        # --- recycle-space update (end of a full cycle) -----------------
+        # --- recycle-space update (end of a full cycle), per RHS --------
         if k and used == p:
             if U is None:
-                P = _harmonic_ritz_first(H_np, p, min(k, p), target)
-                P_j = jnp.asarray(P, dtype=dtype)
-                U_new = jnp.einsum("jk,jsnm->snmk", P_j, V[:p])[..., 0, :]
-                GP = jnp.asarray(H_np[: p + 1, :p] @ P, dtype=dtype)
-                # C = [V] Q where QR(GP) = Q R  (small QR on host)
-                Qs, Rs = np.linalg.qr(H_np[: p + 1, :p] @ P)
-                C_new = jnp.einsum("jk,jsnm->snmk",
-                                   jnp.asarray(Qs, dtype=dtype),
-                                   V[: p + 1])[..., 0, :]
-                U = _solve_right_tri(U_new, np.asarray(Rs))
-                C = C_new
+                # first cycle: harmonic Ritz of each RHS's Hessenberg
+                kk = min(k, p)
+                P_all = np.zeros((p, kk, mu), dtype=H_np.dtype)
+                Qs_all = np.zeros((p + 1, kk, mu), dtype=H_np.dtype)
+                Rs_all = np.zeros((kk, kk, mu), dtype=H_np.dtype)
+                for nu in range(mu):
+                    P_nu = _harmonic_ritz_first(H_np[:, :, nu], p, kk, target)
+                    Qs, Rs = np.linalg.qr(H_np[: p + 1, :p, nu] @ P_nu)
+                    P_all[:, :, nu] = P_nu
+                    Qs_all[:, :, nu] = Qs
+                    Rs_all[:, :, nu] = Rs
+                U_new = jnp.einsum("jkm,jsnm->snkm",
+                                   jnp.asarray(P_all, dtype=dtype), V[:p])
+                C = jnp.einsum("jkm,jsnm->snkm",
+                               jnp.asarray(Qs_all, dtype=dtype), V[: p + 1])
+                U = _solve_right_tri_mu(U_new, Rs_all)
             else:
                 d = k + p
-                # G = [[I_k, B],[0, Hbar]] : (d+1, d)
-                G = np.zeros((d + 1, d), dtype=H_np.dtype)
-                G[:k, :k] = np.eye(k)
-                G[:k, k:] = B_np
-                G[k:, k:] = H_np
                 if strategy == "B":
-                    # strategy B: no Q^H W cross products / global reduce
-                    QhW = None
+                    CU = VU = None
                 else:
                     # Q^H W cross products (the reference's allreduced "prod")
-                    CU = _cross(op, C, U)                     # (k, k)
-                    VU = _cross_stack(op, V[: p + 1], U)      # (p+1, k)
-                    QhW = np.zeros((d + 1, d), dtype=H_np.dtype)
-                    QhW[:k, :k] = CU
-                    QhW[k: d + 1, :k] = VU
-                    QhW[k: d, k:] = np.eye(p)
-                P = _harmonic_ritz_general(G, QhW, k, target)
-                # W P = U P_u + V_p P_v
-                P_u = jnp.asarray(P[:k], dtype=dtype)
-                P_v = jnp.asarray(P[k:], dtype=dtype)
-                U_new = _lincomb_mat(U, P_u) + jnp.einsum(
-                    "jk,jsnm->snmk", P_v, V[:p])[..., 0, :]
-                GPq, GPr = np.linalg.qr(G @ P)
-                Q_c = jnp.asarray(GPq[:k], dtype=dtype)
-                Q_v = jnp.asarray(GPq[k:], dtype=dtype)
-                C_new = _lincomb_mat(C, Q_c) + jnp.einsum(
-                    "jk,jsnm->snmk", Q_v, V[: p + 1])[..., 0, :]
-                U = _solve_right_tri(U_new, GPr)
-                C = C_new
+                    CU = _cross_mu(op, C, U)                  # (k, k, mu)
+                    VU = _cross_stack_mu(op, V[: p + 1], U)   # (p+1, k, mu)
+                P_all = np.zeros((d, k, mu), dtype=H_np.dtype)
+                GPq_all = np.zeros((d + 1, k, mu), dtype=H_np.dtype)
+                GPr_all = np.zeros((k, k, mu), dtype=H_np.dtype)
+                for nu in range(mu):
+                    # G = [[I_k, B],[0, Hbar]] : (d+1, d)
+                    G = np.zeros((d + 1, d), dtype=H_np.dtype)
+                    G[:k, :k] = np.eye(k)
+                    G[:k, k:] = B_np[:, :, nu]
+                    G[k:, k:] = H_np[:, :, nu]
+                    if strategy == "B":
+                        # strategy B: no Q^H W cross products / global reduce
+                        QhW = None
+                    else:
+                        QhW = np.zeros((d + 1, d), dtype=H_np.dtype)
+                        QhW[:k, :k] = CU[:, :, nu]
+                        QhW[k: d + 1, :k] = VU[:, :, nu]
+                        QhW[k: d, k:] = np.eye(p)
+                    P_nu = _harmonic_ritz_general(G, QhW, k, target)
+                    GPq, GPr = np.linalg.qr(G @ P_nu)
+                    P_all[:, :, nu] = P_nu
+                    GPq_all[:, :, nu] = GPq
+                    GPr_all[:, :, nu] = GPr
+                # W P = U P_u + V_p P_v, per RHS
+                P_u = jnp.asarray(P_all[:k], dtype=dtype)
+                P_v = jnp.asarray(P_all[k:], dtype=dtype)
+                U_new = (jnp.einsum("kjm,snkm->snjm", P_u, U)
+                         + jnp.einsum("pjm,psnm->snjm", P_v, V[:p]))
+                Q_c = jnp.asarray(GPq_all[:k], dtype=dtype)
+                Q_v = jnp.asarray(GPq_all[k:], dtype=dtype)
+                C = (jnp.einsum("kjm,snkm->snjm", Q_c, C)
+                     + jnp.einsum("pjm,psnm->snjm", Q_v, V[: p + 1]))
+                U = _solve_right_tri_mu(U_new, GPr_all)
 
         it += used
-        if first_it:
+        if np.all(first_it > 0):
             break
         if used < steps or used == 0:
             break
 
     rel = jnp.sqrt(op.norm_sq(r)).astype(rdtype) / norm
-    its = first_it if first_it else min(it - 1, total_cap)
-    rec = RecycledSpace(U=U, C=C) if (k and U is not None) else None
-    return GCRODRResult(x=x, iterations=jnp.int32(its),
-                        it_per_rhs=jnp.full((mu,), its, jnp.int32),
+    its_arr = np.where(first_it > 0, first_it, min(it - 1, total_cap))
+    rec = None
+    if k and U is not None:
+        rec = RecycledSpace(U=U[..., 0] if mu == 1 else U,
+                            C=C[..., 0] if mu == 1 else C)
+    return GCRODRResult(x=x, iterations=jnp.int32(int(its_arr.max())),
+                        it_per_rhs=jnp.asarray(its_arr, jnp.int32),
                         rel_res=rel,
                         converged=rel <= tol, recycled=rec)
 
@@ -538,6 +573,68 @@ def _solve_right_tri(U: jax.Array, R: np.ndarray) -> jax.Array:
     return _lincomb_mat(U, jnp.asarray(np.linalg.pinv(R), dtype=U.dtype))
 
 
+# -- per-RHS (pseudo-block) variants: U/C carry a trailing mu axis --------
+
+def _gram_cols(op: LinearOperator, Cols: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-RHS weighted Gram: Cols (S,n,k,mu)^H W y (S,n,mu) -> (k, mu)."""
+    yw = op.weight[:, :, None] * y if op.weight is not None else y
+    from hpddm_tpu.parallel.ops import psum_if
+    return psum_if(jnp.einsum("snkm,snm->km", jnp.conj(Cols), yw),
+                   op.axis_name)
+
+
+def _apply_cols_mu(fn, U: jax.Array) -> jax.Array:
+    """Apply fn to each of the k per-RHS column groups of (S, n, k, mu)."""
+    cols = [fn(U[:, :, j, :]) for j in range(U.shape[2])]
+    return jnp.stack(cols, axis=2)
+
+
+def _cross_mu(op: LinearOperator, A: jax.Array, Bm: jax.Array) -> np.ndarray:
+    """(S,n,k1,mu)^H W (S,n,k2,mu) per-RHS -> numpy (k1, k2, mu)."""
+    w = op.weight[:, :, None, None] if op.weight is not None else 1.0
+    local = jnp.einsum("snkm,snjm->kjm", jnp.conj(A), w * Bm)
+    from hpddm_tpu.parallel.ops import psum_if
+    return np.asarray(psum_if(local, op.axis_name))
+
+
+def _cross_stack_mu(op: LinearOperator, V: jax.Array,
+                    U: jax.Array) -> np.ndarray:
+    """V (j, S, n, mu) stack vs U (S, n, k, mu) per-RHS -> numpy (j, k, mu)."""
+    w = op.weight[:, :, None, None] if op.weight is not None else 1.0
+    local = jnp.einsum("jsnm,snkm->jkm", jnp.conj(V), w * U)
+    from hpddm_tpu.parallel.ops import psum_if
+    return np.asarray(psum_if(local, op.axis_name))
+
+
+def _tall_qr_mu(op: LinearOperator,
+                U: jax.Array) -> Tuple[jax.Array, np.ndarray]:
+    """Per-RHS distributed CholQR of (S, n, k, mu) in the weighted inner
+    product (eigh-based, as _tall_qr). Returns (Q (S,n,k,mu), R (k,k,mu))."""
+    G = _cross_mu(op, U, U)
+    kdim, _, mu = G.shape
+    R = np.zeros_like(G)
+    Rinv = np.zeros_like(G)
+    for nu in range(mu):
+        Gn = 0.5 * (G[:, :, nu] + G[:, :, nu].conj().T)
+        w, Vv = np.linalg.eigh(Gn)
+        wmax = max(float(np.max(np.abs(w))), 1e-300)
+        keep = w > 1e-12 * wmax
+        sqrt_w = np.sqrt(np.where(keep, w, 1.0))
+        R[:, :, nu] = (Vv * np.where(keep, sqrt_w, 0.0)[None, :]) @ \
+            Vv.conj().T
+        Rinv[:, :, nu] = (Vv * np.where(keep, 1.0 / sqrt_w, 0.0)[None, :]) @ \
+            Vv.conj().T
+    Q = jnp.einsum("snkm,kjm->snjm", U, jnp.asarray(Rinv, dtype=U.dtype))
+    return Q, R
+
+
+def _solve_right_tri_mu(U: jax.Array, R: np.ndarray) -> jax.Array:
+    """Per-RHS right-multiply by pinv(R): U (S,n,k,mu), R (k,k,mu)."""
+    Rp = np.stack([np.linalg.pinv(R[:, :, nu]) for nu in range(R.shape[2])],
+                  axis=-1)
+    return jnp.einsum("snkm,kjm->snjm", U, jnp.asarray(Rp, dtype=U.dtype))
+
+
 def _ls_solve(H: np.ndarray, beta: float, used: int):
     """min || beta e1 - H[:used+1, :used] y ||; returns (y (p,), residual)."""
     p = H.shape[1]
@@ -554,50 +651,56 @@ def _ls_solve(H: np.ndarray, beta: float, used: int):
 
 def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
                    p: int, U: Optional[jax.Array], C: Optional[jax.Array],
-                   tol: float, norm: float, it0: int, max_it: int):
-    """One projected Arnoldi cycle; jit-compiled body, eager wrapper.
+                   tol: float, norm: np.ndarray, it0: int, max_it: int):
+    """One projected Arnoldi cycle, pseudo-block over the trailing mu axis;
+    jit-compiled body, eager wrapper. Each RHS carries its own Hessenberg
+    column, Givens rotations, and residual, while the operator application
+    is fused (HPDDM_GCRODR.hpp:115-197 iterates ``nu < mu`` around one
+    batched GMV).
 
-    Returns (V (p+1, S, n, 1), H (p+1, p) np, B (k, p) np, crossing, res)."""
+    Returns (V (p+1, S, n, mu), H (p+1, p, mu) np, B (k, p, mu) np,
+    crossing (mu,) np, res (mu,))."""
     S, n, mu = r.shape
     dtype = r.dtype
-    k = U.shape[-1] if U is not None else 0
+    k = U.shape[2] if U is not None else 0    # U: (S, n, k, mu)
 
     safe_beta = jnp.where(beta > 0, beta, 1.0)
     v0 = r / safe_beta
+    norm_j = jnp.asarray(norm)
 
     def body(carry, i):
         V, H, B, s_vec, Q, crossing = carry
         vi = V[i]
         w = op_apply(vi)
         if C is not None:
-            Bcol = op.gram(_cols_to_stack(C), w)[:, 0]
-            w = w - _lincomb(C, Bcol)
+            Bcol = _gram_cols(op, C, w)                     # (k, mu)
+            w = w - jnp.einsum("snkm,km->snm", C, Bcol)
         else:
-            Bcol = jnp.zeros((0,), dtype=dtype)
+            Bcol = jnp.zeros((0, mu), dtype=dtype)
         mask = (jnp.arange(p + 1) <= i)[:, None]
-        h = op.gram(V, w)
+        h = op.gram(V, w)                                   # (p+1, mu)
         h = jnp.where(mask, h, 0)
         w = w - jnp.einsum("km,ksnm->snm", h, V)
-        hn = jnp.sqrt(op.norm_sq(w)).astype(dtype)[0]
+        hn = jnp.sqrt(op.norm_sq(w)).astype(dtype)          # (mu,)
         safe_hn = jnp.where(jnp.abs(hn) > 0, hn, 1.0)
         V = V.at[i + 1].set(w / safe_hn)
-        hcol = h[:, 0].at[i + 1].set(hn)
+        hcol = h.at[i + 1].set(hn)                          # (p+1, mu)
 
-        # accumulated rotation product (see solvers/gmres.py)
-        hrot = Q @ hcol
-        hi, hi1 = hrot[i], hrot[i + 1]
+        # accumulated rotation product, per RHS (see solvers/gmres.py)
+        hrot = jnp.einsum("abm,bm->am", Q, hcol)
+        hi, hi1 = hrot[i], hrot[i + 1]                      # (mu,)
         denom = jnp.sqrt(jnp.abs(hi) ** 2 + jnp.abs(hi1) ** 2)
         safe_d = jnp.where(denom > 0, denom, 1.0)
         c_new = jnp.where(denom > 0, hi / safe_d, 1.0)
         s_new = jnp.where(denom > 0, hi1 / safe_d, 0.0)
-        qi, qi1 = Q[i], Q[i + 1]
+        qi, qi1 = Q[i], Q[i + 1]                            # (p+1, mu)
         Q = Q.at[i].set(jnp.conj(c_new) * qi + jnp.conj(s_new) * qi1) \
              .at[i + 1].set(-s_new * qi + c_new * qi1)
         si = s_vec[i]
         s_vec = s_vec.at[i + 1].set(-s_new * si).at[i].set(jnp.conj(c_new) * si)
-        res = jnp.abs(s_vec[i + 1])
+        res = jnp.abs(s_vec[i + 1])                         # (mu,)
         glob_it = (it0 + i).astype(jnp.int32)
-        hit = (res <= tol * norm) & (crossing == 0) & (glob_it <= max_it)
+        hit = (res <= tol * norm_j) & (crossing == 0) & (glob_it <= max_it)
         crossing = jnp.where(hit, glob_it, crossing)
         # store the *unrotated* column; the LS solve uses H directly
         H = H.at[:, i].set(hcol)
@@ -605,17 +708,19 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
         return (V, H, B, s_vec, Q, crossing), res
 
     V0 = jnp.zeros((p + 1, S, n, mu), dtype=dtype).at[0].set(v0)
-    H0 = jnp.zeros((p + 1, p), dtype=dtype)
-    B0 = jnp.zeros((k, p), dtype=dtype)
-    s0 = jnp.zeros((p + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
-    Q0 = jnp.eye(p + 1, dtype=dtype)
+    H0 = jnp.zeros((p + 1, p, mu), dtype=dtype)
+    B0 = jnp.zeros((k, p, mu), dtype=dtype)
+    s0 = jnp.zeros((p + 1, mu), dtype=dtype).at[0].set(beta.astype(dtype))
+    Q0 = jnp.broadcast_to(jnp.eye(p + 1, dtype=dtype)[:, :, None],
+                          (p + 1, p + 1, mu))
 
     @jax.jit
     def run():
         (V, H, B, s_vec, Q, crossing), res_seq = lax.scan(
-            body, (V0, H0, B0, s0, Q0, jnp.int32(0)), jnp.arange(p))
+            body, (V0, H0, B0, s0, Q0, jnp.zeros((mu,), jnp.int32)),
+            jnp.arange(p))
         return V, H, B, crossing, res_seq
 
     V, H, B, crossing, res_seq = run()
-    return (V, np.asarray(H), np.asarray(B), int(crossing),
-            float(np.asarray(res_seq)[-1]))
+    return (V, np.asarray(H), np.asarray(B), np.asarray(crossing),
+            np.asarray(res_seq)[-1])

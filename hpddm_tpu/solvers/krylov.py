@@ -177,7 +177,8 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
         from hpddm_tpu.solvers.block import bfbcg
         return bfbcg(op, b, x0, tol=tol, max_it=max_it, qr=qr_kind)
     if method in ("gcrodr", "bgcrodr"):
-        # gcrodr: per-RHS solves sharing one refined recycle space;
+        # gcrodr: pseudo-block recycling — per-RHS Hessenbergs and (U, C)
+        # pairs around fused operator applications (HPDDM_GCRODR.hpp:35-444);
         # bgcrodr: true block recycling (fused block Krylov space,
         # HPDDM_GCRODR.hpp:446-907) when mu > 1.
         # The recycled (U, C) pair persists across solve() calls in the
@@ -196,14 +197,14 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                                 strategy=opt.val("recycle_strategy"),
                                 recycled=recycled, same_system=same)
         else:
-            from hpddm_tpu.solvers.gcrodr import bgcrodr
-            res = bgcrodr(op, b, x0, tol=tol,
-                          restart=int(opt.val("gmres_restart")),
-                          max_it=max_it, variant=variant,
-                          recycle=int(opt.val("recycle", 0)),
-                          target=opt.val("recycle_target"),
-                          strategy=opt.val("recycle_strategy"),
-                          recycled=recycled, same_system=same)
+            from hpddm_tpu.solvers.gcrodr import gcrodr
+            res = gcrodr(op, b, x0, tol=tol,
+                         restart=int(opt.val("gmres_restart")),
+                         max_it=max_it, variant=variant,
+                         recycle=int(opt.val("recycle", 0)),
+                         target=opt.val("recycle_target"),
+                         strategy=opt.val("recycle_strategy"),
+                         recycled=recycled, same_system=same)
         if res.recycled is not None:
             opt.set_storage(res.recycled, prefix)
         return res

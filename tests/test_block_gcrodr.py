@@ -204,3 +204,65 @@ def test_recycling_across_solves_via_options():
     r4 = solve(op, b, opt=Options(krylov_method="gcrodr", recycle=8,
                                   gmres_restart=15, tol=1e-8, max_it=1000))
     assert int(r4.iterations) == int(r1.iterations)
+
+
+def test_gcrodr_pseudo_block_multi_rhs():
+    """Pseudo-block GCRO-DR (mu > 1): per-RHS Hessenbergs and recycled
+    pairs around fused operator applications (HPDDM_GCRODR.hpp:35-444,
+    per-RHS slabs in the ``for nu < mu`` loops). Each column must match
+    the accuracy of its own mu=1 solve, per-RHS iteration counts are
+    tracked, and the per-RHS recycled spaces cut iterations on a second
+    solve of the same family."""
+    n, mu = 90, 3
+    A = _laplacian_1d(n, shift=-0.8)          # indefinite-ish: GMRES labors
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=(1, n, mu))
+    op = _op(A, A.diagonal())
+    res = gcrodr(op, jnp.asarray(b), tol=1e-8, restart=15, max_it=1000,
+                 recycle=6)
+    x = np.asarray(res.x)
+    for nu in range(mu):
+        r = b[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(b[0, :, nu]) < 1e-7, nu
+    assert res.recycled is not None
+    assert res.recycled.U.shape == (1, n, 6, mu)      # per-RHS spaces
+    assert res.it_per_rhs.shape == (mu,)
+
+    # column parity: each RHS behaves like its own mu=1 solve
+    for nu in range(mu):
+        r1 = gcrodr(op, jnp.asarray(b[:, :, nu: nu + 1]), tol=1e-8,
+                    restart=15, max_it=1000, recycle=6)
+        assert abs(int(res.it_per_rhs[nu]) - int(r1.iterations)) <= 2, (
+            nu, int(res.it_per_rhs[nu]), int(r1.iterations))
+
+    # warm restart from the per-RHS recycled spaces
+    res2 = gcrodr(op, jnp.asarray(b), tol=1e-8, restart=15, max_it=1000,
+                  recycle=6, recycled=res.recycled, same_system=True)
+    assert int(res2.iterations) < int(res.iterations), (
+        int(res.iterations), int(res2.iterations))
+
+
+def test_gcrodr_pseudo_block_via_solve_dispatch():
+    """-hpddm_krylov_method gcrodr with mu > 1 dispatches to the
+    pseudo-block path (not a sequential per-column loop) and stores the
+    4-D per-RHS recycled space for the next solve()."""
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.solvers.krylov import solve
+
+    n, mu = 100, 2
+    A = _laplacian_1d(n)
+    op = _op(A)
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.normal(size=(1, n, mu)))
+    opt = Options(krylov_method="gcrodr", recycle=6, gmres_restart=12,
+                  tol=1e-8, max_it=1000)
+    r1 = solve(op, b, opt=opt)
+    stored = opt.storage()
+    assert stored is not None and stored.U.shape[-1] == mu
+    x = np.asarray(r1.x)
+    for nu in range(mu):
+        r = np.asarray(b)[0, :, nu] - A @ x[0, :, nu]
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)[0, :, nu]) \
+            < 1e-7
+    r2 = solve(op, b, opt=opt)
+    assert int(r2.iterations) < int(r1.iterations)
