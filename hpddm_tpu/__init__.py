@@ -30,6 +30,39 @@ Design stance (not a port):
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache():
+    """Point jax at a persistent on-disk compilation cache by default.
+
+    Setup at flagship scale is dominated by one-time compiles (the Lanczos
+    GEVP scan, banded solves) routed through a remote compile server on
+    this runtime — minutes cold, milliseconds from the cache (measured
+    1.74 s -> 0.25 s across *processes* on a small probe; the reference
+    counts numfact as a benchmarked hot path, benchmark/local_solver.cpp).
+    Honors an existing jax setting; HPDDM_TPU_COMPILE_CACHE overrides the
+    location, =0 disables."""
+    import os
+
+    loc = os.environ.get("HPDDM_TPU_COMPILE_CACHE")
+    if loc == "0":
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir or \
+            os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return                      # user already configured one
+    if not loc:
+        loc = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".cache", "xla")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+    except OSError:
+        pass                        # read-only installs: just skip
+
+
+_enable_persistent_compile_cache()
+
 from hpddm_tpu.options import Options
 from hpddm_tpu.core.csr import MatrixCSR
 from hpddm_tpu.parallel.decomposition import Decomposition

@@ -120,12 +120,16 @@ def _factor_cache_path(mats, boxes, n_max, dtype, slot_maps, r):
     on a 2-core host). The factors depend only on (matrices, boxes,
     slot_maps, r, dtype), so identical setups — reruns, benchmarks, GEVP
     + build sharing a matrix — load the rounded factors from disk
-    instead. Enable with HPDDM_TPU_FACTOR_CACHE=<dir>."""
+    instead. On by default (<repo>/.cache/factors, next to the persistent
+    XLA cache); HPDDM_TPU_FACTOR_CACHE=<dir> overrides, =0 disables."""
     import hashlib
     import os
     cache_dir = os.environ.get("HPDDM_TPU_FACTOR_CACHE")
-    if not cache_dir:
+    if cache_dir == "0":
         return None
+    if not cache_dir:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache", "factors")
     h = hashlib.sha1()
     h.update(f"banded-v1:{n_max}:{r}:{np.dtype(dtype).name}".encode())
     for b in boxes:
@@ -138,7 +142,10 @@ def _factor_cache_path(mats, boxes, n_max, dtype, slot_maps, r):
         h.update(np.ascontiguousarray(csr.data).tobytes())
         if slot_maps is not None:
             h.update(np.asarray(slot_maps[s_]).tobytes())
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None                 # read-only installs: skip the cache
     return os.path.join(cache_dir, f"banded_{h.hexdigest()}.npz")
 
 
@@ -313,11 +320,19 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     msk_inv_d = msk_inv.astype(npdt, copy=False)
     if cache_path is not None:
         # store the *rounded* factors: reloads are bit-identical to this
-        # build and half the size of the host-f64 intermediates
-        np.savez(cache_path, Dinv=Dinv_d, cl=cl_d, cu=cu_d,
-                 idx_fwd=idx_fwd, msk_fwd=msk_fwd_d, idx_inv=idx_inv,
-                 msk_inv=msk_inv_d, wy_max=nbk, wx_max=L, n_max=n_max,
-                 S=S, cw=wx_max)
+        # build and half the size of the host-f64 intermediates.
+        # Write-then-rename so a concurrent process never reads a
+        # partially written npz (the suite runs drivers in subprocesses).
+        import os
+        tmp_path = f"{cache_path}.tmp{os.getpid()}"
+        try:
+            np.savez(tmp_path, Dinv=Dinv_d, cl=cl_d, cu=cu_d,
+                     idx_fwd=idx_fwd, msk_fwd=msk_fwd_d, idx_inv=idx_inv,
+                     msk_inv=msk_inv_d, wy_max=nbk, wx_max=L, n_max=n_max,
+                     S=S, cw=wx_max)
+            os.replace(f"{tmp_path}.npz", cache_path)
+        except OSError:
+            pass
     return BandedSolver(
         Dinv=jnp.asarray(Dinv_d),
         cl=jnp.asarray(cl_d),

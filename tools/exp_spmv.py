@@ -8,9 +8,13 @@ shifts. Variants:
   flat-xla      current ops/spmv.py jnp path
   flat-pallas   current row-blocked Pallas kernel
   canvas-xla    (S, H, W) canvas, jnp pad+slice
-  canvas-pallas (S*H, Wp) rows-in-sublanes kernel: N/S = sublane offset,
-                E/W = single lane roll
-  bf16-vals     flat-pallas with bfloat16 values (halved value traffic)
+  canvas-pallas (S, Hp, Wp) rows-in-sublanes kernel: N/S = sublane roll of
+                an aligned superblock load (Mosaic rejects unaligned
+                second-minor vector loads), E/W = single lane roll
+
+Timing is length-differenced (two scan lengths in single executable
+calls) to cancel the axon tunnel's ~26 ms per-call overhead — see
+PERF.md "Honest TPU timing" / tools/bench_lenscale.py.
 """
 
 import os
@@ -22,24 +26,33 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def scan_time(fn, x, length=20, reps=3):
+def scan_time_diff(fn, x, L1=10, L2=60, reps=3):
+    """Length-differenced per-step time of fn inside a lax.scan chain."""
     import jax
     from jax import lax
 
-    @jax.jit
-    def chain(v):
-        out, _ = lax.scan(lambda c, _: (fn(c), None), v, None, length=length)
-        return out
+    def chain(length):
+        @jax.jit
+        def run(v):
+            out, _ = lax.scan(lambda c, _: (fn(c), None), v, None,
+                              length=length)
+            return out
+        return run
 
-    y = chain(x)
+    c1, c2 = chain(L1), chain(L2)
+    y = c2(c1(x))
     jax.block_until_ready(y)
-    best = float("inf")
+    w1 = w2 = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        z = chain(y)
-        jax.block_until_ready(z)
-        best = min(best, time.perf_counter() - t0)
-    return best / length
+        y = c1(y)
+        jax.block_until_ready(y)
+        w1 = min(w1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        y = c2(y)
+        jax.block_until_ready(y)
+        w2 = min(w2, time.perf_counter() - t0)
+    return max((w2 - w1) / (L2 - L1), 1e-9)
 
 
 def main():
@@ -66,7 +79,8 @@ def main():
     W, H = i1 - i0, j1 - j0
     n = A.values.shape[2]
     assert H * W == n, (H, W, n)
-    print(f"offsets={A.offsets} H={H} W={W} n={n} nnz={nnz/1e6:.1f}M")
+    print(f"offsets={A.offsets} H={H} W={W} n={n} nnz={nnz/1e6:.1f}M",
+          flush=True)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(S, n, 1)).astype(dtype))
@@ -98,12 +112,18 @@ def main():
                 xp[:, 1 + di: 1 + di + H, 1 + dj: 1 + dj + W]
         return out.reshape(S, n, 1)
 
-    # --- canvas pallas: rows-in-sublanes, (S, H+2, Wp) ---
+    # --- canvas pallas: rows-in-sublanes -------------------------------
+    # Mosaic requires second-minor vector-load offsets to be provably
+    # 8-aligned, so the kernel loads one aligned (BR + 16)-row superblock
+    # per grid step and forms the three row shifts with sublane rolls +
+    # aligned static slices instead of three unaligned loads.
     Wp = ((W + 127) // 128) * 128
-    BR = 64  # canvas rows per block
+    BR = 64  # canvas rows per block (multiple of 8)
 
     Hp = ((H + BR - 1) // BR) * BR
-    xpad_shape = (S, Hp + 2, Wp)
+    # canvas layout: row 8 + j holds x row j (8-row top halo keeps every
+    # superblock load aligned); bottom halo pads to a multiple of 8
+    rows_pad = 8 + Hp + 8
     vals_p = jnp.asarray(np.pad(np.asarray(A.values).reshape(S, 5, H, W),
                                 ((0, 0), (0, 0), (0, Hp - H),
                                  (0, Wp - W))))
@@ -113,10 +133,15 @@ def main():
     def kernel(x_ref, vals_ref, out_ref):
         b = pl.program_id(1)
         base = pl.multiple_of(b * BR, BR)
-        acc = jnp.zeros((BR, Wp), dtype=out_ref.dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (BR, Wp), 1)
+        # aligned superblock: canvas rows [base, base + BR + 16) hold
+        # x rows [base - 8, base + BR + 8)
+        sup = x_ref[0, pl.ds(base, BR + 16), :]       # (BR+16, Wp)
+        acc = jnp.zeros((BR, Wp), dtype=out_ref.dtype)
         for k, (di, dj) in enumerate(moves):
-            rows = x_ref[0, pl.ds(base + 1 + di, BR), :]  # halo row offset
+            # x rows base+di .. base+BR+di = sup rows 8+di .. 8+BR+di:
+            # roll them up to the top, take the aligned leading BR rows
+            rows = pltpu.roll(sup, -(8 + di), 0)[:BR]
             if dj == 0:
                 shifted = rows
             elif dj == 1:
@@ -130,14 +155,14 @@ def main():
 
     def canvas_pallas(v):
         xc = v[:, :, 0].reshape(S, H, W)
-        xp = jnp.zeros(xpad_shape, dtype=v.dtype)
-        xp = xp.at[:, 1: 1 + H, :W].set(xc)
+        xp = jnp.zeros((S, rows_pad, Wp), dtype=v.dtype)
+        xp = xp.at[:, 8: 8 + H, :W].set(xc)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((S, Hp, Wp), v.dtype),
             grid=(S, n_blocks),
             in_specs=[
-                pl.BlockSpec((1, Hp + 2, Wp), lambda s, b: (s, 0, 0),
+                pl.BlockSpec((1, rows_pad, Wp), lambda s, b: (s, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 5, BR, Wp), lambda s, b: (s, 0, b, 0),
                              memory_space=pltpu.VMEM),
@@ -154,25 +179,26 @@ def main():
         try:
             y = np.asarray(fn(x))
             err = np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
-            print(f"{name}: max rel err {err:.2e}")
+            print(f"{name}: max rel err {err:.2e}", flush=True)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {e}")
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:800]}",
+                  flush=True)
 
-    # timings
+    # timings (length-differenced)
     bench = [
         ("flat-xla", lambda v: spmm_dia(A, v)),
         ("flat-pallas", lambda v: spmm_dia_pallas(A, v)),
         ("canvas-xla", canvas_xla),
         ("canvas-pallas", canvas_pallas),
     ]
-    A16 = A.astype(jnp.bfloat16)
-    bench.append(("flat-pallas-bf16v", lambda v: spmm_dia_pallas(A16, v)))
     for name, fn in bench:
         try:
-            t = scan_time(fn, x)
-            print(f"{name:20s}: {t*1e6:9.1f} us  ({nnz/t/1e9:.1f} GNnz/s)")
+            t = scan_time_diff(fn, x)
+            print(f"{name:20s}: {t*1e6:9.1f} us  ({nnz/t/1e9:.1f} GNnz/s)",
+                  flush=True)
         except Exception as e:
-            print(f"{name:20s}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            print(f"{name:20s}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
 
 
 if __name__ == "__main__":
