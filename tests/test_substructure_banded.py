@@ -1,7 +1,19 @@
 """Matrix-free local substructuring (-hpddm_substructuring_local banded):
 FETI/BDD with banded K^+ / implicit Schur applies must reproduce the
 dense-local solutions and iteration counts without materializing any
-O(n^2) local factor."""
+O(n^2) local factor.
+
+Every test in this module runs in a fresh subprocess: after the full
+suite has compiled hundreds of programs in-process, the XLA CPU backend
+segfaults compiling this module's banded scans (reproducible across
+full-suite runs — first seen on the sharded test, later on the plain BDD
+comparison as the suite grew; every body passes in isolation). Process
+isolation sidesteps the backend bug; bodies are batched per subprocess
+so the re-import/compile cost stays bounded."""
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import scipy.sparse.linalg as spla
@@ -43,39 +55,71 @@ def _build(gen, mode, **opt_kw):
                         options=opt, **kw)
 
 
-@pytest.mark.parametrize("S,Nx,Ny", [(16, 32, 32), (4, 20, 24)])
-def test_feti_banded_matches_dense(S, Nx, Ny):
-    gen = nonoverlap.generate(S, Nx, Ny)
-    x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
-    res = {}
-    for mode in ("dense", "banded"):
-        sub = _build(gen, mode)
-        st = sub.state
-        if mode == "banded":
-            # kernel bookkeeping must agree with the dense eigh detection
-            st_d = _build(gen, "dense").state
-            np.testing.assert_array_equal(np.asarray(st.r_loc),
-                                          np.asarray(st_d.r_loc))
-        r = feti_solve(st, _pack_f(gen, sub), tol=1e-9, max_it=200)
-        x = _recovered(gen, r.u)
-        err = np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct)
-        assert err < 1e-6, (mode, err)
-        res[mode] = int(r.iterations)
-    assert abs(res["banded"] - res["dense"]) <= 1, res
+def _run_body(name, extra_env=None, timeout=900):
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        f"from tests.test_substructure_banded import {name}; {name}()")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **(extra_env or {}))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
 
 
-@pytest.mark.parametrize("precond", ["lumped", "none"])
-def test_feti_banded_preconds(precond):
+def test_banded_solver_bodies():
+    _run_body("_solver_bodies")
+
+
+def test_gevp_banded_matches_dense():
+    _run_body("_gevp_body")
+
+
+def test_sharded_banded_matches_batched():
+    """banded local mode under shard_map: the (wy, S, ...) factor layout
+    needs its own pspecs (subdomain axis = 1); solutions must match the
+    batched run."""
+    _run_body("_sharded_banded_body",
+              {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+
+
+def _solver_bodies():
+    """FETI/BDD banded-vs-dense parity + preconditioner variants + mfree
+    coarse, batched into one fresh process."""
+    # --- FETI banded matches dense, two decompositions ------------------
+    for (S, Nx, Ny) in ((16, 32, 32), (4, 20, 24)):
+        gen = nonoverlap.generate(S, Nx, Ny)
+        x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
+        res = {}
+        for mode in ("dense", "banded"):
+            sub = _build(gen, mode)
+            st = sub.state
+            if mode == "banded":
+                # kernel bookkeeping must agree with dense eigh detection
+                st_d = _build(gen, "dense").state
+                np.testing.assert_array_equal(np.asarray(st.r_loc),
+                                              np.asarray(st_d.r_loc))
+            r = feti_solve(st, _pack_f(gen, sub), tol=1e-9, max_it=200)
+            x = _recovered(gen, r.u)
+            err = np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct)
+            assert err < 1e-6, ("feti", S, mode, err)
+            res[mode] = int(r.iterations)
+        assert abs(res["banded"] - res["dense"]) <= 1, (S, res)
+        print(f"feti {S}x{Nx}x{Ny} ok {res}", flush=True)
+
+    # --- FETI preconditioner variants on banded locals ------------------
     gen = nonoverlap.generate(4, 20, 20)
     sub = _build(gen, "banded")
     x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
-    r = feti_solve(sub.state, _pack_f(gen, sub), tol=1e-9, max_it=400,
-                   precond=precond)
-    x = _recovered(gen, r.u)
-    assert np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct) < 1e-6
+    for precond in ("lumped", "none"):
+        r = feti_solve(sub.state, _pack_f(gen, sub), tol=1e-9, max_it=400,
+                       precond=precond)
+        x = _recovered(gen, r.u)
+        assert np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct) \
+            < 1e-6, precond
+    print("feti preconds ok", flush=True)
 
-
-def test_bdd_banded_matches_dense():
+    # --- BDD banded matches dense ---------------------------------------
     gen = nonoverlap.generate(9, 24, 24)
     x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
     res = {}
@@ -84,14 +128,26 @@ def test_bdd_banded_matches_dense():
         r = bdd_solve(sub.state, _pack_f(gen, sub), tol=1e-9, max_it=300)
         x = _recovered(gen, r.u)
         err = np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct)
-        assert err < 1e-6, (mode, err)
+        assert err < 1e-6, ("bdd", mode, err)
         res[mode] = int(r.iterations)
     # the Chebyshev S^+ changes the preconditioner slightly: allow a
     # small iteration gap but no blow-up
     assert res["banded"] <= res["dense"] + 5, res
+    print(f"bdd ok {res}", flush=True)
+
+    # --- banded local + mfree coarse ------------------------------------
+    gen = nonoverlap.generate(16, 32, 32)
+    x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
+    sub = _build(gen, "banded", substructuring_coarse="mfree")
+    r = feti_solve(sub.state, _pack_f(gen, sub), tol=1e-9, max_it=200)
+    x = _recovered(gen, r.u)
+    assert np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct) < 1e-6
+    assert sub.state.G is None          # coarse basis never materialized
+    assert sub.state.K_pinv.shape[1] == 1   # dense factors are dummies
+    print("mfree ok", flush=True)
 
 
-def test_gevp_banded_matches_dense():
+def _gevp_body():
     """GenEO enrichment through the matrix-free Lanczos pencil: solutions
     and iteration counts must track the dense-pencil path, and the
     balancing basis must be orthonormal on valid rows with zero padding
@@ -118,43 +174,7 @@ def test_gevp_banded_matches_dense():
             np.testing.assert_allclose(Q.T @ Q, np.eye(int(rk[s])),
                                        atol=1e-10, err_msg=mode)
     assert res["banded"] <= res["dense"] + 5, res
-
-
-def test_banded_with_mfree_coarse():
-    """banded local + mfree coarse: no O(n^2) factor, no replicated G."""
-    gen = nonoverlap.generate(16, 32, 32)
-    x_direct = spla.spsolve(gen.A_global.tocsc(), gen.f_global)
-    sub = _build(gen, "banded", substructuring_coarse="mfree")
-    r = feti_solve(sub.state, _pack_f(gen, sub), tol=1e-9, max_it=200)
-    x = _recovered(gen, r.u)
-    assert np.linalg.norm(x - x_direct) / np.linalg.norm(x_direct) < 1e-6
-    assert sub.state.G is None          # coarse basis never materialized
-    assert sub.state.K_pinv.shape[1] == 1   # dense factors are dummies
-
-
-def test_sharded_banded_matches_batched():
-    """banded local mode under shard_map: the (wy, S, ...) factor layout
-    needs its own pspecs (subdomain axis = 1); solutions must match the
-    batched run.
-
-    Runs in a subprocess: after the full suite has compiled hundreds of
-    programs in-process, the XLA CPU backend segfaults compiling this
-    test's banded scan (reproducible 2/2 full-suite runs, passes in
-    isolation) — process isolation sidesteps the backend bug."""
-    import os
-    import subprocess
-    import sys
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu'); "
-        "jax.config.update('jax_enable_x64', True); "
-        "from tests.test_substructure_banded import _sharded_banded_body; "
-        "_sharded_banded_body()")
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
-                       capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    print(f"gevp ok {res}", flush=True)
 
 
 def _sharded_banded_body():
