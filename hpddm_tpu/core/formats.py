@@ -35,10 +35,18 @@ from hpddm_tpu.core.csr import MatrixCSR
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BatchedDIA:
-    """Diagonal-format batch: values[s, k, i] = A_s[i, i + offsets[k]]."""
+    """Diagonal-format batch: values[s, k, i] = A_s[i, i + offsets[k]].
+
+    canvas_hw: optional (H, W) grid shape of every subdomain. When set
+    (Schwarz.set_grid_geometry validates uniform boxes + seam-safe
+    values), spmm uses the 2-D canvas formulation — the +-W diagonals
+    become free row offsets (2.7x the flat Pallas kernel at 2048^2/16,
+    PERF.md 2026-08-20)."""
     values: jax.Array                     # (S, ndiag, n_max)
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n_max: int = dataclasses.field(metadata=dict(static=True))
+    canvas_hw: Optional[Tuple[int, int]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def S(self) -> int:

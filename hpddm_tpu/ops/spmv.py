@@ -43,6 +43,52 @@ def spmm_dia(A: BatchedDIA, x: jax.Array) -> jax.Array:
     return out
 
 
+def dia_canvas_moves(offsets, Wd: int):
+    """Decompose flat DIA offsets into 2-D canvas moves (di, dj) with
+    |di|, |dj| <= 1, or None if any offset is not stencil-like."""
+    moves = []
+    for o in offsets:
+        di = int(round(o / Wd)) if Wd else 0
+        dj = int(o) - di * Wd
+        if abs(dj) > 1 or abs(di) > 1:
+            return None
+        moves.append((di, dj))
+    return moves
+
+
+def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
+    """Canvas SpMM for grid stencils (A.canvas_hw set): values viewed as
+    (S, k, H, W); the +-W diagonals become free row offsets, only the
+    +-1 lane shifts remain. 76.8 us vs 206.6 us for the row-blocked
+    Pallas kernel at 2048^2/16 (275 GNnz/s, PERF.md 2026-08-20). Requires
+    seam-safe values — the E/W couplings must vanish on the canvas row
+    seams, validated once at attach time (Schwarz.set_grid_geometry):
+    the flat form reads across the seam, the canvas form reads padding."""
+    H, Wd = A.canvas_hw
+    S, k, n = A.values.shape
+    mu = x.shape[-1]
+    moves = dia_canvas_moves(A.offsets, Wd)
+    vc = A.values.reshape(S, k, H, Wd)
+    odt = jnp.result_type(A.values.dtype, x.dtype)
+    if mu == 1:
+        xc = x[:, :, 0].reshape(S, H, Wd)
+        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1)))
+        out = jnp.zeros((S, H, Wd), dtype=odt)
+        for ki, (di, dj) in enumerate(moves):
+            out = out + vc[:, ki] * \
+                xp[:, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
+        return out.reshape(S, n, 1)
+    # mu > 1: batch the RHS axis ahead of the canvas dims so W stays the
+    # lane dimension
+    xc = jnp.moveaxis(x, -1, 1).reshape(S, mu, H, Wd)
+    xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros((S, mu, H, Wd), dtype=odt)
+    for ki, (di, dj) in enumerate(moves):
+        out = out + vc[:, None, ki] * \
+            xp[:, :, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
+    return jnp.moveaxis(out.reshape(S, mu, n), 1, -1)
+
+
 def spmm_ell(A: BatchedELL, x: jax.Array) -> jax.Array:
     """y[s, i, :] = sum_w vals[s, i, w] * x[s, cols[s, i, w], :]."""
     # gathered: (S, n, w, mu)
@@ -59,6 +105,8 @@ def spmm_dense(A: BatchedDense, x: jax.Array) -> jax.Array:
 def spmm(A, x: jax.Array) -> jax.Array:
     """Dispatch on format. x: (S, n_max, mu) -> (S, n_max, mu)."""
     if isinstance(A, BatchedDIA):
+        if A.canvas_hw is not None:
+            return spmm_dia_canvas(A, x)
         if _USE_PALLAS and jax.default_backend() not in ("cpu",):
             from hpddm_tpu.ops.pallas_spmv import (pallas_dia_supported,
                                                    spmm_dia_pallas)

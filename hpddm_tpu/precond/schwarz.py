@@ -1000,6 +1000,44 @@ class Schwarz:
             plan = build_grid_plan(boxes)
             if plan is not None and plan.H * plan.W == self.dec.n_max:
                 self.dec = _dc.replace(self.dec, grid=plan)
+        self._try_canvas_annotate()
+
+    def _try_canvas_annotate(self) -> None:
+        """Switch the packed DIA matrix to the 2-D canvas SpMM when the
+        decomposition is a uniform grid and the values are seam-safe.
+
+        The canvas form reads zero padding where the flat DIA form reads
+        across a canvas row seam (flat offset +-1 at a row end), so it is
+        only valid when every E/W coupling vanishes there — true for grid
+        stencils, checked explicitly here. 2.7x the flat Pallas kernel at
+        2048^2/16 (ops/spmv.py spmm_dia_canvas, PERF.md 2026-08-20)."""
+        import dataclasses as _dc
+        from hpddm_tpu.core.formats import BatchedDIA
+        from hpddm_tpu.ops.spmv import dia_canvas_moves
+        geo = getattr(self, "_grid_geometry", None)
+        if geo is None or self.dec.renumbered or \
+                not isinstance(self.A, BatchedDIA) or \
+                self.A.canvas_hw is not None:
+            return
+        boxes = geo[0]
+        hw = {(j1 - j0, i1 - i0) for (i0, i1, j0, j1) in boxes}
+        if len(hw) != 1:
+            return                      # nonuniform boxes: keep flat
+        (H, W) = next(iter(hw))
+        if H * W != self.n_max or \
+                any(m.n != self.n_max for m in self.mats):
+            return
+        moves = dia_canvas_moves(self.A.offsets, W)
+        if moves is None:
+            return
+        vals = np.asarray(self.A.values)
+        col = np.arange(self.n_max) % W
+        for k, (_, dj) in enumerate(moves):
+            if dj == 1 and np.any(vals[:, k, col == W - 1]):
+                return                  # seam coupling present: not a grid
+            if dj == -1 and np.any(vals[:, k, col == 0]):
+                return
+        self.A = _dc.replace(self.A, canvas_hw=(H, W))
 
     def operator_state(self) -> SchwarzState:
         """State without any factorization: supports gmv/compute_residual
@@ -1013,6 +1051,7 @@ class Schwarz:
         self.mats = list(mats)
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
+        self._try_canvas_annotate()     # revalidates against the new values
 
     def statistics(self) -> str:
         """Global decomposition statistics (Subdomain::statistics,

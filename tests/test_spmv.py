@@ -71,3 +71,36 @@ def test_csr_file_roundtrip(tmp_path):
     mats[0].dump(path)
     back = MatrixCSR.from_file(path)
     np.testing.assert_allclose(back.dense(), mats[0].dense(), atol=1e-14)
+
+
+def test_canvas_dia_matches_flat():
+    """The 2-D canvas SpMM (BatchedDIA.canvas_hw, attached by
+    Schwarz.set_grid_geometry on uniform grid decompositions) must match
+    the flat DIA product exactly for mu = 1 and mu > 1, and the attach
+    gate must decline non-grid matrices (seam couplings)."""
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+    from hpddm_tpu.ops.spmv import spmm_dia
+
+    S, Nx, Ny = 4, 64, 64
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1,
+                                       dtype=np.float64)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options())
+    sch.set_grid_geometry(gen.boxes, Nx, Ny)
+    A = sch.A
+    assert A.canvas_hw is not None
+    rng = np.random.default_rng(0)
+    for mu in (1, 3):
+        x = jnp.asarray(rng.normal(size=(S, sch.n_max, mu)))
+        np.testing.assert_array_equal(np.asarray(spmm(A, x)),
+                                      np.asarray(spmm_dia(A, x)))
+
+    # the reference-faithful generator (seam quirks / nonuniform local
+    # sizes) must not be annotated
+    gen2 = diffusion2d.generate(4, 100, 100, overlap=1)
+    sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
+                   options=Options())
+    sch2.set_grid_geometry(gen2.boxes, 100, 100)
+    assert sch2.A.canvas_hw is None
