@@ -1030,13 +1030,25 @@ class Schwarz:
         moves = dia_canvas_moves(self.A.offsets, W)
         if moves is None:
             return
-        vals = np.asarray(self.A.values)
-        col = np.arange(self.n_max) % W
-        for k, (_, dj) in enumerate(moves):
-            if dj == 1 and np.any(vals[:, k, col == W - 1]):
-                return                  # seam coupling present: not a grid
-            if dj == -1 and np.any(vals[:, k, col == 0]):
-                return
+        if W < 2:
+            return
+        # seam check on the host CSR copies — fetching the packed device
+        # values back through the axon tunnel measured 378 s at the 1024^2
+        # flagship (21 MB D2H), the CSR scan is milliseconds. Every offset
+        # whose canvas move shifts columns (dj != 0) must vanish where the
+        # move leaves the canvas row — incl. quirk offsets like the
+        # reference generator's +-(W-1) vertical stride, which decompose
+        # to diagonal (+-1, -+1) moves.
+        for m in self.mats:
+            c = m.scipy(expand=True).tocoo()
+            off = c.col - c.row
+            colpos = c.row % W
+            for o, (_, dj) in zip(self.A.offsets, moves):
+                if dj == 0:
+                    continue
+                edge = (colpos == W - 1) if dj == 1 else (colpos == 0)
+                if np.any((off == o) & edge & (c.data != 0)):
+                    return              # seam coupling present: not a grid
         self.A = _dc.replace(self.A, canvas_hw=(H, W))
 
     def operator_state(self) -> SchwarzState:
