@@ -61,10 +61,14 @@ def main():
     solve_time = (time.perf_counter() - t0) / reps
     its = int(res.iterations)
 
-    # --- SpMV throughput (local SpMM + halo), larger batch ---------------
-    # (sized so the whole bench fits the driver's timeout with remote
-    # compiles; per-op numbers at 2048^2 are recorded in PERF.md)
-    S2, Nx2, Ny2 = 16, 1024, 1024
+    # --- SpMV throughput (local SpMM + halo) at flagship scale -----------
+    # 2048^2/16 = 67 MB of operator values: nothing fits in cache, so the
+    # number tracks the honest sustained GMV (canvas SpMM + slab halo,
+    # PERF.md 2026-08-21: 183 us = 115 GNnz/s); smaller sizes measured
+    # noise-dominated length differences (an apparent 904 GNnz/s at
+    # 1024^2). The persistent .cache/xla keeps the compiles inside the
+    # driver timeout.
+    S2, Nx2, Ny2 = 16, 2048, 2048
     gen2 = diffusion2d.generate_uniform(S2, Nx2, Ny2, overlap=1, dtype=dtype)
     sch2 = Schwarz(gen2.mats, gen2.neighbors, gen2.mappings, d=gen2.d,
                    options=Options())
