@@ -31,6 +31,64 @@ Design stance (not a port):
 __version__ = "0.1.0"
 
 
+def _machine_fingerprint(flags=None):
+    """Short hash identifying this host's ISA surface (+ jaxlib version).
+
+    XLA:CPU persistent-cache entries embed AOT machine code compiled for the
+    *compiling* host's CPU features; jax's cache key covers the backend
+    platform but not those features, so a cache directory shared between
+    machines can replay AOT code the executing CPU cannot run (SIGILL risk).
+    Keying the directory by a fingerprint of the CPU feature flags makes each
+    machine class use its own entries."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    if flags is not None:             # injectable for tests
+        parts.append(" ".join(sorted(flags.split())))
+    else:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        parts.append(
+                            " ".join(sorted(line.split(":", 1)[1].split())))
+                        break
+        except OSError:
+            parts.append(platform.processor())
+    try:
+        import jaxlib
+        parts.append(jaxlib.__version__)
+    except Exception:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _cache_location(platforms, override):
+    """Resolve the persistent-cache directory, or None to leave it off.
+
+    ``platforms``: first entry of jax_platforms (resolved platform request);
+    ``override``: HPDDM_TPU_COMPILE_CACHE env value (path, "0", or None).
+
+    CPU is cache-less unless explicitly overridden: XLA:CPU cache entries
+    are AOT machine code, and the loader error-logs a feature-string
+    mismatch on *every* load (the +prefer-no-scatter/gather tuning prefs
+    are compared as if they were host CPU features) — all risk/noise,
+    little win, since CPU compiles are local and fast. The cache's purpose
+    here is the remote axon/TPU compile server (minutes cold)."""
+    import os
+
+    if override == "0":
+        return None
+    if override:
+        return override
+    if (platforms or "").split(",")[0] == "cpu":
+        return None
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "xla",
+        _machine_fingerprint())
+
+
 def _enable_persistent_compile_cache():
     """Point jax at a persistent on-disk compilation cache by default.
 
@@ -39,21 +97,23 @@ def _enable_persistent_compile_cache():
     this runtime — minutes cold, milliseconds from the cache (measured
     1.74 s -> 0.25 s across *processes* on a small probe; the reference
     counts numfact as a benchmarked hot path, benchmark/local_solver.cpp).
+    The directory is keyed by a machine fingerprint (see
+    ``_machine_fingerprint``) so AOT artifacts never cross machine classes;
+    the CPU backend gets no cache at all (see ``_cache_location``).
     Honors an existing jax setting; HPDDM_TPU_COMPILE_CACHE overrides the
     location, =0 disables."""
     import os
 
-    loc = os.environ.get("HPDDM_TPU_COMPILE_CACHE")
-    if loc == "0":
-        return
     import jax
 
     if jax.config.jax_compilation_cache_dir or \
             os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return                      # user already configured one
+    platforms = jax.config.jax_platforms or \
+        os.environ.get("JAX_PLATFORMS") or ""
+    loc = _cache_location(platforms, os.environ.get("HPDDM_TPU_COMPILE_CACHE"))
     if not loc:
-        loc = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".cache", "xla")
+        return
     try:
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)

@@ -332,7 +332,10 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
                      S=S, cw=wx_max)
             os.replace(f"{tmp_path}.npz", cache_path)
         except OSError:
-            pass
+            try:                      # don't leak the tmp file on failure
+                os.unlink(f"{tmp_path}.npz")
+            except OSError:
+                pass
     return BandedSolver(
         Dinv=jnp.asarray(Dinv_d),
         cl=jnp.asarray(cl_d),

@@ -68,6 +68,10 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
     S, k, n = A.values.shape
     mu = x.shape[-1]
     moves = dia_canvas_moves(A.offsets, Wd)
+    if moves is None:
+        # canvas_hw set by hand on a non-stencil offset pattern
+        # (Schwarz._try_canvas_annotate never does this): fall back
+        return spmm_dia(A, x)
     vc = A.values.reshape(S, k, H, Wd)
     odt = jnp.result_type(A.values.dtype, x.dtype)
     if mu == 1:

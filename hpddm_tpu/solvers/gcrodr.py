@@ -40,8 +40,14 @@ from hpddm_tpu.solvers.gmres import KrylovResult
 
 
 class RecycledSpace(NamedTuple):
-    U: jax.Array   # (S, n, k) recycle basis (preconditioned-operator space)
-    C: jax.Array   # (S, n, k) = op @ U, orthonormal in the weighted dot
+    """Recycle pair persisted across solves (HPDDM_option.hpp storage_).
+
+    U: (S, n, k) recycle basis (preconditioned-operator space); pseudo-block
+       gcrodr with mu > 1 stores per-RHS slabs as (S, n, k, mu).
+    C: same shape as U; C = op @ U, orthonormal in the weighted dot
+       (each trailing-mu slab orthonormal independently)."""
+    U: jax.Array
+    C: jax.Array
 
 
 class GCRODRResult(NamedTuple):
@@ -116,13 +122,36 @@ def _harmonic_ritz_general(G: np.ndarray, QhW: Optional[np.ndarray], k: int,
     return np.ascontiguousarray(q)
 
 
+def _rrqr_block(op: LinearOperator, r: jax.Array, dtol: float):
+    """Rank-revealing QR of a residual block r (S, n, mu) via the Gram
+    eigendecomposition: r = Q0 @ R0 with Q0 (S, n, bw) orthonormal and
+    R0 (bw, mu), where bw counts singular values above ``dtol`` relative
+    to the largest (the role of the reference's pivoted-QR deflation,
+    HPDDM_iterative.hpp:583-595 / -hpddm_deflation_tol)."""
+    from hpddm_tpu.solvers.block import _block_dot
+
+    G = np.asarray(_block_dot(op, r, r))              # (mu, mu) PSD
+    w, v = np.linalg.eigh(G)
+    w = np.maximum(w, 0.0)
+    s = np.sqrt(w)[::-1]                              # descending
+    v = v[:, ::-1]
+    bw = max(int(np.sum(s > dtol * max(s[0], 1e-300))), 1)
+    T = v[:, :bw]
+    s_k = np.maximum(s[:bw], 1e-300)
+    Q0 = jnp.einsum("snm,ma->sna", r, jnp.asarray(T / s_k[None, :],
+                                                  dtype=r.dtype))
+    R0 = jnp.asarray(s_k[:, None] * np.conj(T).T, dtype=r.dtype)
+    return Q0, R0, bw
+
+
 def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                   x0: Optional[jax.Array] = None, tol: float = 1.0e-6,
                   restart: int = 40, max_it: int = 100,
                   recycle: int = 0, target: str = "SM",
                   recycled: Optional[RecycledSpace] = None,
                   same_system: bool = False,
-                  strategy: str = "A") -> "GCRODRResult":
+                  strategy: str = "A",
+                  deflation_tol: float = -1.0) -> "GCRODRResult":
     """True block GCRO-DR (HPDDM_GCRODR.hpp:446-907): one fused block
     Krylov space over all RHS, deflated restarting via block harmonic Ritz.
 
@@ -160,8 +189,15 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
     x = x0
     r = b - op.gmv(x)
     U = C = None
-    if k and recycled is not None and recycled.U.shape[-1] == k:
+    if k and recycled is not None and recycled.U is not None:
         U, C = recycled.U, recycled.C
+        if U.ndim == 4:
+            # pseudo-block gcrodr stores per-RHS (S, n, k, mu) slabs; each
+            # C[..., nu] is orthonormal, so slab 0 is a valid seed here
+            U, C = U[..., 0], C[..., 0]
+        if U.shape[-1] != k:
+            U = C = None
+    if U is not None:
         if not same_system:
             AU = _apply_cols(op_apply, U)
             Q, Rfac = _tall_qr(op, AU)
@@ -174,11 +210,19 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
     first_it = np.zeros(mu, dtype=np.int64)
     while it <= max_it:
         kc = U.shape[-1] if U is not None else 0      # current space width
-        Q0, R0 = _chol_qr(op, r)
+        if deflation_tol > 0:
+            # deflated restarting: drop residual directions below the
+            # tolerance; the cycle runs at block width bw <= mu while the
+            # (bw, mu) R0 keeps tracking every RHS (-hpddm_deflation_tol,
+            # HPDDM_GCRODR.hpp block-size reduction)
+            Q0, R0, bw = _rrqr_block(op, r, deflation_tol)
+        else:
+            Q0, R0 = _chol_qr(op, r)
+            bw = mu
         V = [Q0]                                      # block basis
         Z = []                                        # preconditioned blocks
-        Hb = np.zeros((p + 1, p, mu, mu))             # block Hessenberg
-        Bb = np.zeros((kc, p, mu)) if kc else None    # C-coupling
+        Hb = np.zeros((p + 1, p, bw, bw))             # block Hessenberg
+        Bb = np.zeros((kc, p, bw)) if kc else None    # C-coupling
         steps = 0
         res = None
         for i in range(p):
@@ -186,7 +230,7 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
             Z.append(z)
             w = op.gmv(z)
             if C is not None:
-                Bc = _cross_j(op, C, w)               # (k, mu)
+                Bc = _cross_j(op, C, w)               # (k, bw)
                 w = w - jnp.einsum("snk,km->snm", C, Bc)
                 Bb[:, i, :] = np.asarray(Bc)
             for j, Vj in enumerate(V):
@@ -199,9 +243,9 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
             steps = i + 1
             # block LS residual per RHS
             Hmat = Hb[: i + 2, : i + 1].transpose(0, 2, 1, 3).reshape(
-                (i + 2) * mu, (i + 1) * mu)
-            rhs = np.zeros(((i + 2) * mu, mu))
-            rhs[:mu] = np.asarray(R0)
+                (i + 2) * bw, (i + 1) * bw)
+            rhs = np.zeros(((i + 2) * bw, mu))
+            rhs[:bw] = np.asarray(R0)
             y, *_ = np.linalg.lstsq(Hmat, rhs, rcond=None)
             res = np.linalg.norm(rhs - Hmat @ y, axis=0)
             crossed = res <= tol * np.asarray(norm)
@@ -212,15 +256,15 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                 break
 
         # solution update: x += M^-1 (V Y) + M^-1 (U Yu)  [coupled term]
-        Yb = jnp.asarray(y.reshape(steps, mu, mu), dtype=dtype)
+        Yb = jnp.asarray(y.reshape(steps, bw, mu), dtype=dtype)
         # Z_i = M^-1 V_i: already in solution space — no further precondition
         upd = sum(jnp.einsum("sna,am->snm", Z[i], Yb[i])
                   for i in range(steps))
         if kc:
             # z-coefficients: zc = -B y (flattened over block columns);
             # U lives in operator space, so its correction goes through M^-1
-            Bflat = Bb[:, :steps, :].reshape(kc, steps * mu)
-            ymat = y[: steps * mu]
+            Bflat = Bb[:, :steps, :].reshape(kc, steps * bw)
+            ymat = y[: steps * bw]
             zc = -(Bflat @ ymat)                      # (k, mu)
             upd = upd + prec(jnp.einsum("snk,km->snm", U,
                                         jnp.asarray(zc, dtype=dtype)))
@@ -233,9 +277,9 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
 
         # recycle-space (re)construction (end of a full block cycle)
         if k and steps == p and (first_it == 0).any():
-            pd = steps * mu
+            pd = steps * bw
             Hflat = Hb[: steps + 1, :steps].transpose(0, 2, 1, 3).reshape(
-                (steps + 1) * mu, pd)                 # block-major flatten
+                (steps + 1) * bw, pd)                 # block-major flatten
             Vp = jnp.concatenate(V[:steps], axis=-1)  # (S, n, p*mu)
             Vs = jnp.concatenate(V[: steps + 1], axis=-1)
             if C is None:
@@ -246,7 +290,7 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                 corr = np.zeros((pd, pd))
                 try:
                     w_inv = np.linalg.solve(Hsq.T, np.eye(pd))
-                    corr[:, -mu:] = w_inv[:, -mu:] @ (Hlast.T @ Hlast)
+                    corr[:, -bw:] = w_inv[:, -bw:] @ (Hlast.T @ Hlast)
                 except np.linalg.LinAlgError:
                     pass
                 w_e, vr = np.linalg.eig(Hsq + corr)
@@ -262,16 +306,16 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                 # op([U, V_p]) = [C, V_{p+1}] G, G = [[I_kc, B],[0, Hbar]]
                 d = kc + pd
                 Bflat = Bb[:, :steps, :].reshape(kc, pd)
-                G = np.zeros((d + mu, d))
+                G = np.zeros((d + bw, d))
                 G[:kc, :kc] = np.eye(kc)
                 G[:kc, kc:] = Bflat
                 G[kc:, kc:] = Hflat
                 if strategy == "B":
-                    QhW = None if mu == 1 else np.eye(d + mu, d)
+                    QhW = None if bw == 1 else np.eye(d + bw, d)
                 else:
                     CU = _cross(op, C, U)             # (kc, kc)
                     VU = _cross(op, Vs, U)            # ((p+1)mu, kc)
-                    QhW = np.zeros((d + mu, d))
+                    QhW = np.zeros((d + bw, d))
                     QhW[:kc, :kc] = CU
                     QhW[kc:, :kc] = VU
                     QhW[kc: kc + pd, kc:] = np.eye(pd)
@@ -310,10 +354,15 @@ def bgcrodr(op: LinearOperator, b: jax.Array,
             recycle: int = 0, target: str = "SM",
             recycled: Optional[RecycledSpace] = None,
             same_system: bool = False, strategy: str = "A") -> "GCRODRResult":
-    """Multi-RHS GCRO-DR: the RHS share one recycled space, refined as the
-    columns are solved in sequence (pseudo-block; the reference's true
-    block variant fuses them into one block Krylov space —
-    HPDDM_GCRODR.hpp:446-907 — which is future work here)."""
+    """Sequential multi-RHS GCRO-DR: columns solved one after another,
+    sharing (and refining) one recycled space — later columns start warm.
+
+    NOT dispatched from solve(): ``-hpddm_krylov_method bgcrodr`` with
+    mu > 1 routes to :func:`bgcrodr_fused` (true block recycling,
+    HPDDM_GCRODR.hpp:446-907) and ``gcrodr`` handles mu > 1 pseudo-block
+    (simultaneous per-RHS spaces). Kept as a library entry point for the
+    solve-columns-in-sequence usage where cross-column warm deflation is
+    the goal (tests/test_block_gcrodr.py::test_bgcrodr_multi_rhs)."""
     S, n, mu = b.shape
     if mu == 1:
         return gcrodr(op, b, x0, tol, restart, max_it, variant, recycle,
@@ -668,7 +717,7 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
     v0 = r / safe_beta
     norm_j = jnp.asarray(norm)
 
-    def body(carry, i):
+    def body(carry, i, C, norm_j, it0):
         V, H, B, s_vec, Q, crossing = carry
         vi = V[i]
         w = op_apply(vi)
@@ -707,20 +756,25 @@ def _arnoldi_cycle(op: LinearOperator, op_apply, r: jax.Array, beta,
         B = B.at[:, i].set(Bcol) if k else B
         return (V, H, B, s_vec, Q, crossing), res
 
-    V0 = jnp.zeros((p + 1, S, n, mu), dtype=dtype).at[0].set(v0)
-    H0 = jnp.zeros((p + 1, p, mu), dtype=dtype)
-    B0 = jnp.zeros((k, p, mu), dtype=dtype)
-    s0 = jnp.zeros((p + 1, mu), dtype=dtype).at[0].set(beta.astype(dtype))
-    Q0 = jnp.broadcast_to(jnp.eye(p + 1, dtype=dtype)[:, :, None],
-                          (p + 1, p + 1, mu))
-
+    # v0 and C are passed as jit arguments (never closure-captured): at
+    # flagship scale they are the dominant state and an embedded HLO
+    # literal both stalls the remote compile server (PERF.md 2026-08-19)
+    # and forces a recompile every cycle (r changes each restart).
     @jax.jit
-    def run():
+    def run(v0, beta, C_arg, norm_j, it0):
+        V0 = jnp.zeros((p + 1, S, n, mu), dtype=dtype).at[0].set(v0)
+        H0 = jnp.zeros((p + 1, p, mu), dtype=dtype)
+        B0 = jnp.zeros((k, p, mu), dtype=dtype)
+        s0 = jnp.zeros((p + 1, mu), dtype=dtype).at[0].set(beta.astype(dtype))
+        Q0 = jnp.broadcast_to(jnp.eye(p + 1, dtype=dtype)[:, :, None],
+                              (p + 1, p + 1, mu))
         (V, H, B, s_vec, Q, crossing), res_seq = lax.scan(
-            body, (V0, H0, B0, s0, Q0, jnp.zeros((mu,), jnp.int32)),
+            lambda carry, i: body(carry, i, C_arg, norm_j, it0),
+            (V0, H0, B0, s0, Q0, jnp.zeros((mu,), jnp.int32)),
             jnp.arange(p))
         return V, H, B, crossing, res_seq
 
-    V, H, B, crossing, res_seq = run()
+    V, H, B, crossing, res_seq = run(
+        v0, jnp.asarray(beta), C, norm_j, jnp.asarray(it0, jnp.int32))
     return (V, np.asarray(H), np.asarray(B), np.asarray(crossing),
             np.asarray(res_seq)[-1])

@@ -195,7 +195,9 @@ def _solve_core(A, b: jax.Array, x0: Optional[jax.Array],
                                 recycle=int(opt.val("recycle", 0)),
                                 target=opt.val("recycle_target"),
                                 strategy=opt.val("recycle_strategy"),
-                                recycled=recycled, same_system=same)
+                                recycled=recycled, same_system=same,
+                                deflation_tol=float(
+                                    opt.val("deflation_tol", -1.0)))
         else:
             from hpddm_tpu.solvers.gcrodr import gcrodr
             res = gcrodr(op, b, x0, tol=tol,

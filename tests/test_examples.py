@@ -50,7 +50,9 @@ def test_driver_exits_zero(args):
 
 
 def test_driver_gcrodr_sequence():
-    r = _run(["examples/driver.py"], timeout=500)
+    # reference-scale sequence (10 x n=2025, restart 40): heavier than the
+    # other drivers
+    r = _run(["examples/driver.py"], timeout=900)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "GCRODR" in r.stdout
 

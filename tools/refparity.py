@@ -1,0 +1,188 @@
+"""Cross-implementation Krylov parity harness.
+
+Builds the *actual* reference (HPDDM) sequentially — no MPI — from
+``/root/reference`` into ``.cache/refbuild`` and runs its
+``examples/driver.cpp`` binary on repo-generated matrix sequences, so the
+iteration windows checked by ``tests/test_reference_parity.py`` are
+*reference-derived*, not self-recorded (the round-2 gap: all previous
+windows came from this implementation itself).
+
+Build recipe (validated in-session):
+  * copy ``include/`` (build-time artifact only, never committed — the
+    repo contains no reference code),
+  * re-add three MPI stubs after the ``#undef`` block at
+    ``HPDDM.hpp:632-636`` (``MPI_COMM_SELF``/``MPI_Init``/``MPI_Finalize``)
+    and relax the no-MPI ``MPI_Allreduce`` macro from ``(void)f`` to
+    ``(f)`` (g++ 12 rejects ``ignore((void)comm)`` in HPDDM_CG.hpp:444),
+  * drop the 5th argument of the ``solve`` call in ``driver.cpp`` (the
+    ``HPDDM_MPI=0`` overload takes 4, HPDDM_iterative.hpp:1020-1027),
+  * ``g++ -std=c++11 -O3 -DHPDDM_MPI=0`` against the system
+    ``liblapack.so.3``/``libblas.so.3``.
+
+Driver data format (driver.cpp:96-116, 1-based 'F' numbering):
+  ``n nnz sym a[nnz] ja[nnz] ia[n+1] rhs[n]`` space/newline separated,
+  files named ``400.txt``, ``401.txt``, ... in a directory.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("HPDDM_REF", "/root/reference")
+BUILD_DIR = os.path.join(REPO, ".cache", "refbuild")
+
+_BLAS = "/usr/lib/x86_64-linux-gnu/libblas.so.3"
+_LAPACK = "/usr/lib/x86_64-linux-gnu/liblapack.so.3"
+
+_UNDEF_ANCHOR = (
+    "      #undef MPI_COMM_SELF\n"
+    "      #undef MPI_Comm_rank\n"
+    "      #undef MPI_Comm_size\n"
+    "      #undef MPI_Allreduce\n")
+_STUBS = (
+    "      #define MPI_COMM_SELF 0\n"
+    "      #define MPI_Init(a, b)\n"
+    "      #define MPI_Finalize()\n")
+_SOLVE_5ARG = "HPDDM::IterativeMethod::solve(*A, rhs, x, mu, MPI_COMM_SELF);"
+_SOLVE_4ARG = "HPDDM::IterativeMethod::solve(*A, rhs, x, mu);"
+_ALLREDUCE_OLD = "#define MPI_Allreduce(a, b, c, d, e, f) (void)f"
+_ALLREDUCE_NEW = "#define MPI_Allreduce(a, b, c, d, e, f) (f)"
+
+
+def build_reference_driver(force=False):
+    """Build (or reuse) the sequential reference driver binary.
+
+    Returns the binary path, or None when the reference tree / toolchain /
+    BLAS libraries are unavailable (callers should skip)."""
+    binary = os.path.join(BUILD_DIR, "ref_driver")
+    if os.path.exists(binary) and not force:
+        return binary
+    ref_inc = os.path.join(REFERENCE, "include")
+    ref_drv = os.path.join(REFERENCE, "examples", "driver.cpp")
+    if not (os.path.isdir(ref_inc) and os.path.isfile(ref_drv)
+            and os.path.exists(_BLAS) and os.path.exists(_LAPACK)):
+        return None
+    import shutil
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    inc = os.path.join(BUILD_DIR, "include")
+    if os.path.isdir(inc):
+        shutil.rmtree(inc)
+    shutil.copytree(ref_inc, inc)
+
+    hpddm_hpp = os.path.join(inc, "HPDDM.hpp")
+    with open(hpddm_hpp) as f:
+        src = f.read()
+    if _UNDEF_ANCHOR not in src or _ALLREDUCE_OLD not in src:
+        return None                  # layout drifted; don't guess
+    src = src.replace(_UNDEF_ANCHOR, _UNDEF_ANCHOR + _STUBS)
+    src = src.replace(_ALLREDUCE_OLD, _ALLREDUCE_NEW)
+    with open(hpddm_hpp, "w") as f:
+        f.write(src)
+
+    with open(ref_drv) as f:
+        drv = f.read()
+    if _SOLVE_5ARG not in drv:
+        return None
+    drv = drv.replace(_SOLVE_5ARG, _SOLVE_4ARG)
+    drv_path = os.path.join(BUILD_DIR, "driver.cpp")
+    with open(drv_path, "w") as f:
+        f.write(drv)
+
+    cmd = ["g++", "-std=c++11", "-O3", "-DHPDDM_MPI=0",
+           "-I", inc, drv_path, "-o", binary, _LAPACK, _BLAS]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return binary
+
+
+def dump_driver_file(path, A, rhs):
+    """Write one system in driver.cpp's format (1-based CSR indices)."""
+    A = A.tocsr()
+    n = A.shape[0]
+    toks = [str(n), str(A.nnz), "0"]
+    toks += [f"{v:.17g}" for v in A.data]
+    toks += [str(int(j) + 1) for j in A.indices]
+    toks += [str(int(i) + 1) for i in A.indptr]
+    toks += [f"{float(v):.17g}" for v in np.asarray(rhs)]
+    with open(path, "w") as f:
+        f.write(" ".join(toks))
+
+
+def make_sequence(n_sys=10, nx=45, ny=45, seed=7, mass=0.1):
+    """Drifting-coefficient 2D diffusion sequence (SPD, n = nx*ny).
+
+    Thin re-export of :func:`hpddm_tpu.models.sequences.drifting_diffusion`
+    so the parity harness and examples/driver.py provably share matrices."""
+    sys.path.insert(0, REPO)
+    from hpddm_tpu.models.sequences import drifting_diffusion
+    return drifting_diffusion(n_sys=n_sys, nx=nx, ny=ny, seed=seed,
+                              mass=mass)
+
+
+def write_sequence(systems, data_dir):
+    os.makedirs(data_dir, exist_ok=True)
+    for i, (A, rhs) in enumerate(systems):
+        dump_driver_file(os.path.join(data_dir, f"40{i}.txt"), A, rhs)
+
+
+def run_reference(binary, data_dir, args=(), timeout=900):
+    """Run the reference driver; returns (total_its, max_relres, stdout).
+
+    The binary's exit code is NOT meaningful here: driver.cpp:151-156
+    hardcodes GCRODR iteration windows for *its* shipped data; we check
+    convergence ourselves from the per-system ``--- residual = a / b``
+    lines instead."""
+    cmd = [binary, f"-path={data_dir}"] + list(args)
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                       cwd=BUILD_DIR)
+    out = p.stdout + p.stderr
+    m = re.search(r"Total number of iterations:\s*(\d+)", p.stdout)
+    total = int(m.group(1)) if m else -1
+    ratios = [float(a) / float(b) for a, b in
+              re.findall(r"residual = (\S+) / (\S+)", p.stdout)]
+    max_rel = max(ratios) if ratios else float("inf")
+    return total, max_rel, out
+
+
+def run_ours(systems, options, mu=1, diagonal_scaling=False):
+    """Solve the same sequence with hpddm_tpu.solve(); returns
+    (total_its, max_relres) with the relative residual measured the same
+    way driver.cpp:127-137 does (true residual over ||rhs||).
+
+    Matches driver.cpp's setup: zero initial guess per system, the same
+    rhs duplicated over mu columns, Jacobi preconditioning when
+    ``diagonal_scaling`` (the driver's CustomOperator::apply), recycling
+    persisted across systems via the Options storage."""
+    import jax.numpy as jnp
+
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.solvers.base import LinearOperator
+    from hpddm_tpu.solvers.krylov import solve
+
+    opt = Options.parse([])
+    for k, v in options.items():
+        opt[k] = v
+    total = 0
+    max_rel = 0.0
+    for A, rhs in systems:
+        Ad = jnp.asarray(A.todense())
+        kw = dict(gmv=lambda x, Ad=Ad: jnp.einsum("nk,skm->snm", Ad, x))
+        if diagonal_scaling:
+            dinv = jnp.asarray(1.0 / A.diagonal())[None, :, None]
+            kw["apply"] = lambda x, dinv=dinv: dinv * x
+        op = LinearOperator(**kw)
+        b = jnp.asarray(np.tile(np.asarray(rhs)[None, :, None], (1, 1, mu)))
+        res = solve(op, b, opt=opt)
+        total += int(res.iterations)
+        x = np.asarray(res.x)[0]                       # (n, mu)
+        rr = np.asarray(rhs)[:, None] - A @ x
+        nb = np.linalg.norm(np.asarray(rhs))
+        max_rel = max(max_rel,
+                      float(np.linalg.norm(rr, axis=0).max() / nb))
+    return total, max_rel
