@@ -47,6 +47,19 @@ class BatchedDIA:
     n_max: int = dataclasses.field(metadata=dict(static=True))
     canvas_hw: Optional[Tuple[int, int]] = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # optional low-precision mirror of `values` used by the SpMM hot path
+    # (-hpddm_gmv_dtype bf16): halves the dominant HBM value stream; the
+    # multiply accumulates in x's dtype. Setup paths (coarse assembly,
+    # factorizations) always read the full-precision `values`.
+    values_lp: Optional[jax.Array] = None
+    # canvas symmetry map (set by Schwarz._try_canvas_annotate when the
+    # matrix is exactly symmetric): canvas_sym[k] = j means plane k's
+    # values are the shifted transpose of plane j (V_k[p] = V_j[p + m_k]
+    # bitwise), so the canvas SpMM never reads plane k from HBM — its
+    # term is the m_k-shift of (V_j * x). 5-point stencils drop from 5
+    # value-plane streams to 3; the result is bitwise unchanged.
+    canvas_sym: Optional[Tuple[Optional[int], ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def S(self) -> int:

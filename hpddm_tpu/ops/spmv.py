@@ -28,18 +28,25 @@ from hpddm_tpu.core.formats import BatchedDIA, BatchedELL, BatchedDense
 _USE_PALLAS = os.environ.get("HPDDM_TPU_NO_PALLAS", "0") != "1"
 
 
+def _hot_values(A: BatchedDIA) -> jax.Array:
+    """Value planes for the SpMM hot path: the bf16 mirror when enabled
+    (-hpddm_gmv_dtype; halves the dominant HBM stream), else full values."""
+    return A.values_lp if A.values_lp is not None else A.values
+
+
 def spmm_dia(A: BatchedDIA, x: jax.Array) -> jax.Array:
     """y[s, i, :] = sum_k vals[s, k, i] * x[s, i + off_k, :]."""
-    S, nd, n = A.values.shape
+    vals = _hot_values(A)
+    S, nd, n = vals.shape
     mu = x.shape[-1]
     max_off = max((abs(o) for o in A.offsets), default=0)
     if max_off == 0:
-        return A.values[:, 0, :, None] * x if nd else jnp.zeros_like(x)
+        return vals[:, 0, :, None] * x if nd else jnp.zeros_like(x)
     xp = jnp.pad(x, ((0, 0), (max_off, max_off), (0, 0)))
-    out = jnp.zeros((S, n, mu), dtype=jnp.result_type(A.values.dtype, x.dtype))
+    out = jnp.zeros((S, n, mu), dtype=jnp.result_type(x.dtype, x.dtype))
     for k, off in enumerate(A.offsets):
         shifted = xp[:, max_off + off: max_off + off + n, :]
-        out = out + A.values[:, k, :, None] * shifted
+        out = out + vals[:, k, :, None] * shifted
     return out
 
 
@@ -65,22 +72,32 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
     seams, validated once at attach time (Schwarz.set_grid_geometry):
     the flat form reads across the seam, the canvas form reads padding."""
     H, Wd = A.canvas_hw
-    S, k, n = A.values.shape
+    vals = _hot_values(A)
+    S, k, n = vals.shape
     mu = x.shape[-1]
     moves = dia_canvas_moves(A.offsets, Wd)
     if moves is None:
         # canvas_hw set by hand on a non-stencil offset pattern
         # (Schwarz._try_canvas_annotate never does this): fall back
         return spmm_dia(A, x)
-    vc = A.values.reshape(S, k, H, Wd)
-    odt = jnp.result_type(A.values.dtype, x.dtype)
+    vc = vals.reshape(S, k, H, Wd)
+    odt = jnp.result_type(x.dtype, x.dtype)
+    sym = A.canvas_sym if A.canvas_sym is not None else (None,) * k
     if mu == 1:
         xc = x[:, :, 0].reshape(S, H, Wd)
         xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1)))
         out = jnp.zeros((S, H, Wd), dtype=odt)
         for ki, (di, dj) in enumerate(moves):
-            out = out + vc[:, ki] * \
-                xp[:, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
+            if sym[ki] is not None:
+                # V_k[p] = V_j[p + m] (exact transpose plane): the term is
+                # the m-shift of (V_j * x) — no HBM read of plane k
+                base = jnp.pad(vc[:, sym[ki]] * xc,
+                               ((0, 0), (1, 1), (1, 1)))
+                out = out + base[:, 1 + di: 1 + di + H,
+                                 1 + dj: 1 + dj + Wd]
+            else:
+                out = out + vc[:, ki] * \
+                    xp[:, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
         return out.reshape(S, n, 1)
     # mu > 1: batch the RHS axis ahead of the canvas dims so W stays the
     # lane dimension
@@ -88,8 +105,14 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
     xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
     out = jnp.zeros((S, mu, H, Wd), dtype=odt)
     for ki, (di, dj) in enumerate(moves):
-        out = out + vc[:, None, ki] * \
-            xp[:, :, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
+        if sym[ki] is not None:
+            base = jnp.pad(vc[:, None, sym[ki]] * xc,
+                           ((0, 0), (0, 0), (1, 1), (1, 1)))
+            out = out + base[:, :, 1 + di: 1 + di + H,
+                             1 + dj: 1 + dj + Wd]
+        else:
+            out = out + vc[:, None, ki] * \
+                xp[:, :, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
     return jnp.moveaxis(out.reshape(S, mu, n), 1, -1)
 
 
@@ -111,7 +134,8 @@ def spmm(A, x: jax.Array) -> jax.Array:
     if isinstance(A, BatchedDIA):
         if A.canvas_hw is not None:
             return spmm_dia_canvas(A, x)
-        if _USE_PALLAS and jax.default_backend() not in ("cpu",):
+        if _USE_PALLAS and A.values_lp is None and \
+                jax.default_backend() not in ("cpu",):
             from hpddm_tpu.ops.pallas_spmv import (pallas_dia_supported,
                                                    spmm_dia_pallas)
             if pallas_dia_supported(A, x):

@@ -139,6 +139,10 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                               "spectral bounds (setup)"),
     "coarse_dtype": ("enum", None, ("same", "float32", "bfloat16"),
                      "Precision of the coarse operator (HPDDM_MIXED_PRECISION analogue)"),
+    "gmv_dtype": ("enum", None, ("same", "bfloat16"),
+                  "Storage precision of the SpMM value planes (hot-path "
+                  "HBM stream; accumulation stays in the vector dtype). "
+                  "bfloat16 halves the dominant GMV traffic"),
     "coarse_assembly": ("enum", "dense", ("dense", "bsr"),
                         "Coarse operator E: dense replicated assembly and "
                         "solve, or neighbor-block-sparse (the reference's "

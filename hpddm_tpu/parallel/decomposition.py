@@ -57,28 +57,34 @@ def restrict_pou(neighbors, mappings, d_list) -> bool:
                        np.concatenate(pb) if pb else np.zeros(0, np.int64))
     flat = np.concatenate([np.asarray(dd, dtype=np.float64)
                            for dd in d_list])
-    members: dict = {}
-    for g, r in enumerate(roots):
-        members.setdefault(int(r), []).append(g)
     eps = 1.0e-12
-    changed = False
-    for mem in members.values():
-        if len(mem) == 1:
-            continue
-        vals = flat[mem]
-        fractional = np.any((np.abs(vals - 1.0) > eps)
-                            & (np.abs(vals) > eps))
-        if not fractional and abs(vals.sum() - 1.0) <= eps:
-            continue
-        # winner: largest value; ties to the higher subdomain id (members
-        # are in ascending subdomain order, so take the last argmax)
-        win = len(vals) - 1 - int(np.argmax(vals[::-1]))
-        new = np.zeros_like(vals)
-        new[win] = 1.0
-        if not np.allclose(new, vals, atol=eps):
-            changed = True
-            flat[mem] = new
+    # group-by root with sorted segments — no per-dof Python
+    # (round-3: the dict loop was O(total dofs) interpreted, unusable at
+    # the 1M-dof flagship; see tests/test_matrix_exchange.py time budget)
+    order = np.argsort(roots, kind="stable")      # ascending g within root
+    rs = np.asarray(roots)[order]
+    starts = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(rs)]]))
+    vals = flat[order]
+    gmax = np.maximum.reduceat(vals, starts)
+    gsum = np.add.reduceat(vals, starts)
+    frac = np.add.reduceat(
+        ((np.abs(vals - 1.0) > eps) & (np.abs(vals) > eps)).astype(np.int64),
+        starts) > 0
+    needs = (counts > 1) & (frac | (np.abs(gsum - 1.0) > eps))
+    if not np.any(needs):
+        return False
+    gid = np.repeat(np.arange(len(starts)), counts)
+    # winner per group: largest value, ties to the higher subdomain id =
+    # the *last* position attaining the max (members ascend by global dof)
+    ismax = vals >= gmax[gid] - 0.0                # exact max matches
+    pos = np.arange(len(vals))
+    win = np.maximum.reduceat(np.where(ismax, pos, -1), starts)
+    new_vals = np.where(needs[gid], 0.0, vals)
+    new_vals[win[needs]] = 1.0
+    changed = bool(np.any(np.abs(new_vals - vals) > eps))
     if changed:
+        flat[order] = new_vals
         for s in range(S):
             d_list[s][:] = flat[offsets[s]: offsets[s + 1]]
     return changed

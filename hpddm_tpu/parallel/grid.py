@@ -232,10 +232,14 @@ def _shift_select_static(vals: jax.Array, k_np: np.ndarray, axis: int,
 
 import os
 
-# composition of the final canvas update: "band" = row-band concat (one
-# fused pass, no zero-padded full canvases), "pad" = zero-padded strip adds
-# (the round-1 formulation). A/B-switchable for measurement.
-_COMPOSE = os.environ.get("HPDDM_TPU_GRID_COMPOSE", "band")
+# composition of the final canvas update (A/B-switchable for measurement):
+# "hybrid" = row-band concat on the sublane axis + lane-padded E/W adds
+#   fused into the mid pass — measured 40.2 us at 2048^2/16 (PERF.md
+#   2026-08-21, round 3);
+# "band" = row-band concat with *column* concats for E/W — the 2-lane
+#   offset column concat forces a full-canvas lane relayout (67-101 us);
+# "pad" = four zero-padded full-canvas strip adds (50-56 us).
+_COMPOSE = os.environ.get("HPDDM_TPU_GRID_COMPOSE", "hybrid")
 
 
 def grid_exchange(plan: GridPlan, x: jax.Array,
@@ -322,7 +326,20 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
     se = selx(sely(take(Np, 6)[:, :, :tm], hi(syw_d(6))), hi(sxw_d(6)))
     sw = selx(sely(take(Np, 7)[:, :, Wm - tm:], hi(syw_d(7))), lo(sxw_d(7)))
 
-    if _COMPOSE == "band":
+    if _COMPOSE == "hybrid":
+        # corners + edge E/W segments into the full-width N/S strips (thin)
+        n = (n.at[:, :, Wm - tm:].add(ne + e[:, :t, :])
+              .at[:, :, :tm].add(nw + w[:, :t, :]))
+        s = (s.at[:, :, Wm - tm:].add(se + e[:, H - t:, :])
+              .at[:, :, :tm].add(sw + w[:, H - t:, :]))
+        # mid rows: lane-padded E/W adds fuse into one elementwise pass
+        # (a column concat here would lane-relayout the whole canvas)
+        mid = (x4[:, t:H - t, :]
+               + jnp.pad(w[:, t:H - t, :], [(0, 0), (0, 0), (0, Wm - tm)])
+               + jnp.pad(e[:, t:H - t, :], [(0, 0), (0, 0), (Wm - tm, 0)]))
+        x4 = jnp.concatenate([
+            x4[:, :t, :] + n, mid, x4[:, H - t:, :] + s], axis=1)
+    elif _COMPOSE == "band":
         n = (n.at[:, :, Wm - tm:].add(ne + e[:, :t, :])
               .at[:, :, :tm].add(nw + w[:, :t, :]))
         s = (s.at[:, :, Wm - tm:].add(se + e[:, H - t:, :])

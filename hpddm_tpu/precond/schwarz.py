@@ -502,9 +502,27 @@ class Schwarz:
         self.n_max = self.dec.n_max
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
+        self._apply_gmv_dtype()
         self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
+
+    def _apply_gmv_dtype(self) -> None:
+        """Attach a low-precision value mirror for the SpMM hot path
+        (-hpddm_gmv_dtype bfloat16): the GMV's dominant cost at flagship
+        scale is the HBM value-plane stream (PERF.md round 3); bf16
+        storage halves it while accumulation stays in the vector dtype.
+        Setup paths (coarse assembly, factorizations, residuals computed
+        host-side) keep reading the full-precision values."""
+        from hpddm_tpu.core.formats import BatchedDIA as _DIA
+        if not isinstance(self.A, _DIA):
+            return
+        want = self.opt.val("gmv_dtype")
+        if want in (None, "same"):
+            return
+        import dataclasses as _dc2
+        self.A = _dc2.replace(
+            self.A, values_lp=self.A.values.astype(jnp.bfloat16))
 
     def exchange_matrices(self) -> None:
         """Algebraic matrix-overlap exchange: the matrix variant of
@@ -533,21 +551,45 @@ class Schwarz:
         else:
             d = d_int
         csrs = [m.scipy(expand=True).tocsr() for m in self.mats]
-        out = [c.tolil() for c in csrs]
-        for s in range(S):
+        out = [c.copy() for c in csrs]
+        out_keys = []                  # canonical (row*N + col) per entry
+        for c in out:
+            c.sort_indices()
+            n = c.shape[0]
+            rows = np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(c.indptr))
+            out_keys.append(rows * n + c.indices.astype(np.int64))
+        for s in range(S):             # ascending sender id: deterministic
             A_s = csrs[s]
             for q, idx_s in zip(self.neighbors[s], self.mappings[s]):
                 pos = list(self.neighbors[q]).index(s)
-                idx_q = self.mappings[q][pos]
-                rows = np.nonzero(d[s][idx_s] > HPDDM_EPS)[0]
-                if len(rows) == 0:
+                idx_q = np.asarray(self.mappings[q][pos], dtype=np.int64)
+                sendable = d[s][idx_s] > HPDDM_EPS
+                if not sendable.any():
                     continue
+                m = len(idx_s)
                 sub_s = A_s[idx_s][:, idx_s].tocoo()
-                pat_q = csrs[q][idx_q][:, idx_q].astype(bool).tolil()
-                for j, k, v in zip(sub_s.row, sub_s.col, sub_s.data):
-                    if d[s][idx_s[j]] > HPDDM_EPS and pat_q[j, k]:
-                        out[q][idx_q[j], idx_q[k]] = v
-        self.update_matrices([MatrixCSR(sp.csr_matrix(m)) for m in out])
+                keep = sendable[sub_s.row]             # POU-owned rows only
+                sr, sc = sub_s.row[keep], sub_s.col[keep]
+                sv = sub_s.data[keep]
+                # intersect with the receiver's *stored pattern* on the
+                # shared block (values irrelevant — explicit zeros count)
+                blk_q = csrs[q][idx_q][:, idx_q].tocoo()
+                keys_q = np.unique(blk_q.row.astype(np.int64) * m
+                                   + blk_q.col)
+                key_s = sr.astype(np.int64) * m + sc
+                hit = np.isin(key_s, keys_q)
+                if not hit.any():
+                    continue
+                r_glob = idx_q[sr[hit]]
+                c_glob = idx_q[sc[hit]]
+                # locate each (r, c) inside out[q]'s canonical key array —
+                # positions exist by construction (pattern intersected)
+                tgt = out[q]
+                key = r_glob * tgt.shape[0] + c_glob
+                posn = np.searchsorted(out_keys[q], key)
+                tgt.data[posn] = sv[hit]
+        self.update_matrices([MatrixCSR(m) for m in out])
 
     def restriction(self) -> bool:
         """Boolean rounding of the partition of unity
@@ -1049,7 +1091,43 @@ class Schwarz:
                 edge = (colpos == W - 1) if dj == 1 else (colpos == 0)
                 if np.any((off == o) & edge & (c.data != 0)):
                     return              # seam coupling present: not a grid
-        self.A = _dc.replace(self.A, canvas_hw=(H, W))
+        self.A = _dc.replace(self.A, canvas_hw=(H, W),
+                             canvas_sym=self._canvas_symmetry(moves))
+
+    def _canvas_symmetry(self, moves):
+        """Transpose-plane map for the canvas SpMM (None when unusable).
+
+        When every local matrix is *exactly* symmetric (A == A^T bitwise,
+        checked on the host CSR copies), each negative-move plane's values
+        are the shifted positive-move plane: V_-m[p] = V_+m[p - m]. The
+        SpMM then skips the HBM stream of the redundant planes (5-point:
+        5 -> 3 planes) with bitwise-identical results.
+
+        Default OFF (HPDDM_TPU_CANVAS_SYM=1 enables): measured *slower* at
+        2048^2/16 — 119 us vs 77 us spmm — because the value planes are
+        largely VMEM-resident inside a solve scan there, so the saved HBM
+        reads don't materialize while the extra shift-of-product
+        temporaries spill (PERF.md round 3, negative result)."""
+        import os
+        if os.environ.get("HPDDM_TPU_CANVAS_SYM", "0") != "1":
+            return None
+        for m in self.mats:
+            c = m.scipy(expand=True).tocsr()
+            dlt = (c - c.T).tocoo()
+            if dlt.nnz and np.any(dlt.data != 0):
+                return None
+        from hpddm_tpu.ops.spmv import dia_canvas_moves
+        by_move = {mv: ki for ki, mv in enumerate(moves)}
+        sym = [None] * len(moves)
+        for ki, (di, dj) in enumerate(moves):
+            if (di, dj) >= (0, 0):
+                continue                # keep positive-move planes
+            partner = by_move.get((-di, -dj))
+            if partner is not None and sym[partner] is None:
+                sym[ki] = partner
+        if not any(s is not None for s in sym):
+            return None
+        return tuple(sym)
 
     def operator_state(self) -> SchwarzState:
         """State without any factorization: supports gmv/compute_residual
@@ -1064,6 +1142,7 @@ class Schwarz:
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
         self._try_canvas_annotate()     # revalidates against the new values
+        self._apply_gmv_dtype()
 
     def statistics(self) -> str:
         """Global decomposition statistics (Subdomain::statistics,

@@ -104,3 +104,58 @@ def test_canvas_dia_matches_flat():
                    options=Options())
     sch2.set_grid_geometry(gen2.boxes, 100, 100)
     assert sch2.A.canvas_hw is None
+
+
+def test_canvas_symmetry_elision_bitwise(monkeypatch):
+    """HPDDM_TPU_CANVAS_SYM=1: transpose-plane elision (the canvas SpMM
+    never reads the negative-move planes of an exactly symmetric matrix)
+    is bitwise-identical to the full product. Default-off (measured slower
+    at flagship scale, PERF.md round 3) but kept correct."""
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+    from hpddm_tpu.ops.spmv import spmm_dia
+
+    monkeypatch.setenv("HPDDM_TPU_CANVAS_SYM", "1")
+    S, Nx, Ny = 4, 64, 64
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1,
+                                       dtype=np.float64)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options())
+    sch.set_grid_geometry(gen.boxes, Nx, Ny)
+    A = sch.A
+    assert A.canvas_sym is not None and any(
+        s is not None for s in A.canvas_sym)
+    rng = np.random.default_rng(1)
+    for mu in (1, 2):
+        x = jnp.asarray(rng.normal(size=(S, sch.n_max, mu)))
+        np.testing.assert_array_equal(np.asarray(spmm(A, x)),
+                                      np.asarray(spmm_dia(A, x)))
+
+
+def test_gmv_dtype_bf16_mirror():
+    """-hpddm_gmv_dtype bfloat16: the SpMM hot path reads the low-precision
+    mirror (accumulating in the vector dtype); setup keeps full values."""
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz, gmv as _gmv
+
+    S, Nx, Ny = 4, 64, 64
+    gen = diffusion2d.generate_uniform(S, Nx, Ny, overlap=1,
+                                       dtype=np.float32)
+    sch32 = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                    options=Options())
+    schbf = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                    options=Options(gmv_dtype="bfloat16"))
+    for s in (sch32, schbf):
+        s.set_grid_geometry(gen.boxes, Nx, Ny)
+    assert schbf.A.values_lp is not None
+    assert schbf.A.values_lp.dtype == jnp.bfloat16
+    assert schbf.A.values.dtype == jnp.float32     # setup path untouched
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(S, sch32.n_max, 1)).astype(np.float32))
+    y32 = np.asarray(_gmv(sch32.operator_state(), x), dtype=np.float64)
+    ybf = np.asarray(_gmv(schbf.operator_state(), x), dtype=np.float64)
+    rel = np.linalg.norm(ybf - y32) / np.linalg.norm(y32)
+    assert rel < 1e-2, rel                         # bf16 epsilon ~ 8e-3
+    assert rel > 0                                 # mirror actually used
