@@ -107,7 +107,13 @@ class CoarseState:
     # overlapping-block Schwarz data (prec 'ras'/'asm')
     Eloc_inv: Optional[jax.Array] = None  # (S, L, L) local inverses
     loc_idx: Optional[jax.Array] = None   # (S, L) coarse-row gather (dense)
-    agg_oh: Optional[jax.Array] = None    # (S, n3) aggregates (bsr lvl3)
+    # (S, nu_max, n3) level-3 deflation basis for the bsr coarse solve:
+    # constant-per-aggregate indicators by default, or per-aggregate
+    # spectral vectors (smallest eigenpairs of the aggregate-local coarse
+    # operator) when -hpddm_level_3_geneo_nu is set — the recursion of the
+    # reference's spectral machinery onto the coarse operator
+    # (HPDDM_inexact_coarse_operator.hpp:1328, HPDDM_schwarz.hpp:449-495)
+    agg_oh: Optional[jax.Array] = None
     # block-sparse coarse (mode 'bsr'); all leaves S-leading -> sharded
     Eb_diag: Optional[jax.Array] = None      # (S, nu, nu)
     Eb_nbr: Optional[jax.Array] = None       # (S, K, nu, nu)
@@ -353,18 +359,21 @@ def _coarse_solve_bsr(co: CoarseState, c: jax.Array,
         else:                                                # block-Jacobi
             z = jnp.einsum("sab,sbm->sam", co.Eb_diag_inv, r) * act
         if co.lvl3 != "none" and co.E2_inv is not None:
-            # third level: aggregate-constant deflation (buildThree's
-            # algebraic core); aggregates of level_3_aggregate_size blocks
-            rc = jnp.sum(r * act, axis=1)                    # (S_loc, mu)
-            rc_g = rc if axis_name is None else jax.lax.all_gather(
-                rc, axis_name, axis=0, tiled=True)
-            rc3 = co.agg_oh.T @ rc_g                         # (n3, mu)
+            # third level (buildThree): deflation by the level-3 basis —
+            # aggregate constants or per-aggregate spectral vectors
+            # (level_3_geneo_nu); agg_oh: (S, nu, n3), replicated
+            ra = r * act                                     # (S_loc, nu, mu)
+            ra_g = ra if axis_name is None else jax.lax.all_gather(
+                ra, axis_name, axis=0, tiled=True)           # (S, nu, mu)
+            rc3 = jnp.einsum("saq,sam->qm",
+                             co.agg_oh.astype(ra_g.dtype), ra_g)
             w3 = _solve_level3(co, rc3)
-            w = co.agg_oh @ w3                               # (S, mu)
+            w = jnp.einsum("saq,qm->sam",
+                           co.agg_oh.astype(w3.dtype), w3)   # (S, nu, mu)
             if axis_name is not None:
                 idx = jax.lax.axis_index(axis_name)
                 w = jax.lax.dynamic_slice_in_dim(w, idx * S_loc, S_loc, 0)
-            z = z + w[:, None, :] * act
+            z = z + w * act
         return z
 
     from hpddm_tpu.solvers.base import LinearOperator
@@ -1201,7 +1210,8 @@ class Schwarz:
                     inner_max_it=int(lvl.val("max_it", 50)),
                     lvl3=lvl3, l3_tol=float(l3.val("tol", 1e-2)),
                     l3_max_it=int(l3.val("max_it", 20)),
-                    agg=max(1, int(l3.val("aggregate_size", 1))))
+                    agg=max(1, int(l3.val("aggregate_size", 1))),
+                    l3_nu=int(l3.val("geneo_nu", 0) or 0))
 
     def _nbr_blocks(self):
         """Neighbor subdomain lists from the partner tables (the coarse
@@ -1218,6 +1228,51 @@ class Schwarz:
         ind = np.zeros((S, n3))
         ind[np.arange(S), np.arange(S) // agg] = 1.0
         return ind
+
+    @staticmethod
+    def _lvl3_spectral_basis(Ed_np, En_np, nbr_sub, act, agg: int,
+                             q3: int) -> np.ndarray:
+        """Per-aggregate spectral level-3 basis (S, nu, n_agg*q).
+
+        For every aggregate g = {s : s // agg == g}, assemble its local
+        coarse operator E_g (diagonal + intra-aggregate neighbor blocks,
+        restricted to active slots), symmetrize, and take the q smallest
+        eigenpairs — the aggregate-local near-kernel the third level must
+        carry, exactly the GenEO selection rule one level down
+        (HPDDM_schwarz.hpp:449-495 recursed on E). Columns of different
+        aggregates have disjoint support."""
+        S, nu = Ed_np.shape[0], Ed_np.shape[1]
+        n_agg = (S + agg - 1) // agg
+        blocks_of = [[] for _ in range(n_agg)]
+        for s in range(S):
+            blocks_of[s // agg].append(s)
+        cols = []
+        for g in range(n_agg):
+            slots = [(s, a) for s in blocks_of[g]
+                     for a in range(nu) if act[s][a]]
+            dim = len(slots)
+            if dim == 0:
+                continue
+            index = {sa: i for i, sa in enumerate(slots)}
+            Eg = np.zeros((dim, dim), dtype=Ed_np.dtype)
+            for s in blocks_of[g]:
+                aa = [a for a in range(nu) if act[s][a]]
+                ia = [index[(s, a)] for a in aa]
+                Eg[np.ix_(ia, ia)] = Ed_np[s][np.ix_(aa, aa)]
+                for j, q in enumerate(nbr_sub[s]):
+                    q = int(q)
+                    if q < S and q // agg == g:
+                        bb = [b for b in range(nu) if act[q][b]]
+                        iq = [index[(q, b)] for b in bb]
+                        Eg[np.ix_(ia, iq)] += En_np[s, j][np.ix_(aa, bb)]
+            Eg = 0.5 * (Eg + Eg.conj().T)
+            w, v = np.linalg.eigh(Eg)
+            k = min(q3, dim)
+            blk = np.zeros((S, nu, k), dtype=Ed_np.dtype)
+            for i, (s, a) in enumerate(slots):
+                blk[s, a, :] = v[i, :k]
+            cols.append(blk)
+        return np.concatenate(cols, axis=2)
 
     def _build_coarse(self, correction: str, dtype) -> CoarseState:
         """Assemble E = Z^T A Z and invert it (replicated coarse solve).
@@ -1430,18 +1485,26 @@ class Schwarz:
                            b * nu_max:(b + 1) * nu_max] = blk
             Eloc_inv = jnp.asarray(np.linalg.inv(El), dtype=E_diag.dtype)
 
-        # third level: aggregate-constant deflation E2 = Z2^T E Z2,
-        # assembled block-wise (S x S then aggregated, small, host)
-        E2b = np.zeros((S, S), dtype=hd)
+        # third level: deflation of the bsr coarse operator (buildThree).
+        # Basis V3 (S, nu, n3): constant per aggregate by default;
+        # -hpddm_level_3_geneo_nu q recurses the spectral machinery one
+        # level down — the q smallest eigenpairs of each aggregate's
+        # local coarse operator (HPDDM_inexact_coarse_operator.hpp:1328)
+        if cfg["l3_nu"] > 0:
+            V3h = self._lvl3_spectral_basis(Ed_np, En_np, nbr_sub, act,
+                                            cfg["agg"], cfg["l3_nu"])
+        else:
+            ind = self._aggregate_ind(S, cfg["agg"])
+            V3h = (ind[:, None, :] * act[:, :, None]).astype(hd)
+        n3 = V3h.shape[2]
+        # E3 = V3^H E V3 assembled from the bsr blocks (host, small)
+        E2 = np.zeros((n3, n3), dtype=hd)
         for s in range(S):
-            a = act[s]
-            E2b[s, s] = Ed_np[s][np.ix_(a, a)].sum()
+            Vs = V3h[s]                                     # (nu, n3)
+            E2 += Vs.conj().T @ (Ed_np[s] * np.outer(act[s], act[s])) @ Vs
             for j, q in enumerate(nbr_sub[s]):
                 if q < S:
-                    E2b[s, q] += En_np[s, j].sum()
-        ind = self._aggregate_ind(S, cfg["agg"])
-        n3 = ind.shape[1]
-        E2 = ind.T @ E2b @ ind
+                    E2 += Vs.conj().T @ En_np[s, j] @ V3h[q]
         E2 += 1e-12 * abs(np.trace(E2)) / n3 * np.eye(n3)
         if cfg["lvl3"] == "cg":
             E2_inv = jnp.asarray(np.diag(1.0 / np.diag(E2)),
@@ -1464,7 +1527,7 @@ class Schwarz:
             lvl3=cfg["lvl3"], l3_tol=cfg["l3_tol"],
             l3_max_it=cfg["l3_max_it"],
             E2_inv=E2_inv, Z2=None, E2=E2_keep, Eloc_inv=Eloc_inv,
-            agg_oh=jnp.asarray(ind, dtype=E_diag.dtype),
+            agg_oh=jnp.asarray(V3h, dtype=E_diag.dtype),
             Eb_diag=E_diag, Eb_nbr=E_nb,
             Eb_diag_inv=Eb_diag_inv, nbr_oh=jnp.asarray(oh))
 

@@ -151,3 +151,41 @@ def test_dense_coarse_auto_switches_to_bsr(monkeypatch, capsys):
     state_d = sch.build()
     assert state_d.coarse.mode == "direct"
     assert "WARNING" in capsys.readouterr().out
+
+
+def test_level3_spectral_beats_constants_at_scale():
+    """-hpddm_level_3_geneo_nu (round-3 verdict #6): per-aggregate spectral
+    level-3 vectors (smallest eigenpairs of the aggregate-local coarse
+    operator — the GenEO rule recursed one level down,
+    HPDDM_inexact_coarse_operator.hpp:1328) must beat constant-per-
+    aggregate deflation at the SAME level-3 space size on coarse
+    iterations at S = 256 (measured: constant n3=16 -> 147 its, spectral
+    q=1/agg=16 n3=16 -> 117; larger spectral spaces go to 59)."""
+    S, Nx = 256, 256
+    gen = diffusion2d.generate_uniform(S, Nx, Nx, overlap=1,
+                                       with_neumann=True)
+
+    def coarse_its(q3):
+        opt = Options(schwarz_coarse_correction="deflated", geneo_nu=2,
+                      coarse_assembly="bsr")
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        sch.set_grid_geometry(gen.boxes, Nx, Nx)
+        sch.solve_gevp(gen.neumann)
+        sch.opt["level_2_tol"] = 1e-8
+        sch.opt["level_2_max_it"] = 500
+        sch.opt["level_3_aggregate_size"] = 16
+        if q3:
+            sch.opt["level_3_geneo_nu"] = q3
+        state = sch.build()
+        co = state.coarse
+        assert co.agg_oh.ndim == 3                 # (S, nu, n3) basis
+        rng = np.random.default_rng(3)
+        c = jnp.asarray(rng.normal(size=(S, co.nu_max, 1)))
+        _, its = _coarse_solve_bsr(co, c, return_its=True)
+        return int(its), co.agg_oh.shape[-1]
+
+    its_const, n3_const = coarse_its(0)
+    its_spec, n3_spec = coarse_its(1)
+    assert n3_const == n3_spec == 16               # same-size comparison
+    assert its_spec < its_const, (its_spec, its_const)
