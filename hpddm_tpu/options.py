@@ -143,6 +143,12 @@ _REGISTRY: Dict[str, Tuple[str, Any, Optional[Tuple[str, ...]], str]] = {
                   "Storage precision of the SpMM value planes (hot-path "
                   "HBM stream; accumulation stays in the vector dtype). "
                   "bfloat16 halves the dominant GMV traffic"),
+    "coarse_galerkin": ("enum", "multiplication",
+                        ("multiplication", "accumulation"),
+                        "bsr Galerkin algorithm: interface-slab products "
+                        "(MatrixMultiplication) or per-subdomain partial "
+                        "overlap contributions additively reduced "
+                        "(MatrixAccumulation)"),
     "coarse_assembly": ("enum", "dense", ("dense", "bsr"),
                         "Coarse operator E: dense replicated assembly and "
                         "solve, or neighbor-block-sparse (the reference's "

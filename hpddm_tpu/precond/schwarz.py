@@ -1433,13 +1433,65 @@ class Schwarz:
         nbr_sub = np.full((S, K), S, dtype=np.int64)
         for s, nb in enumerate(nbrs):
             nbr_sub[s, : len(nb)] = nb
-        Vc = jnp.conj(Vif)
-        E_nb_parts = []
-        for j in range(K):
-            mask_j = jnp.asarray(psub == nbr_sub[:, j, None, None])
-            E_nb_parts.append(jnp.einsum(
-                "smk,sma,smkb->sab", mask_j.astype(Vif.dtype), Vc, pvals))
-        E_nb = jnp.stack(E_nb_parts, axis=1)                 # (S, K, nu, nu)
+        galerkin = self.opt.val("coarse_galerkin") or "multiplication"
+        if galerkin == "accumulation":
+            # MatrixAccumulation (HPDDM_operator.hpp:563-1021) re-designed
+            # batched: each subdomain computes its *partial overlap
+            # contribution* G_s = X_s^H (D_s A_s X_s) over the local
+            # restrictions X_s of its own and its neighbors' coarse
+            # vectors, and E is the additive reduction over subdomains —
+            # the Galerkin analogue of the GMV identity
+            # sum_s R_s^T D_s A_s R_s = A. Lands exactly on the bsr
+            # pattern (a q-r pair contributing through s is necessarily a
+            # neighbor pair: their supports intersect).
+            ar = jnp.arange(S)[:, None]
+            nbr_cols = []
+            for j in range(K):
+                mask_j = jnp.asarray(psub == nbr_sub[:, j, None, None])
+                vals_j = jnp.sum(jnp.where(mask_j[..., None], pvals, 0),
+                                 axis=2)                     # (S, m, nu)
+                Xq = jnp.zeros((S, self.n_max, nu_max), DZ.dtype)
+                Xq = Xq.at[ar, dec.if_idx, :].add(
+                    jnp.where(msk, vals_j, 0))
+                nbr_cols.append(Xq)
+            Xloc = jnp.concatenate([DZ] + nbr_cols, axis=2)
+            AX = spmm(self.A, Xloc.astype(self.A.values.dtype)) \
+                .astype(Z.dtype)
+            G = jnp.einsum("sna,snb->sab", jnp.conj(Xloc),
+                           dec.d[:, :, None] * AX)
+            G_np = np.asarray(G)                             # host accumulate
+            nu = nu_max
+            Ed_acc = np.zeros((S, nu, nu), dtype=G_np.dtype)
+            En_acc = np.zeros((S, K, nu, nu), dtype=G_np.dtype)
+            posn = {}                                        # (s, q) -> col
+            for s in range(S):
+                posn[(s, s)] = 0
+                for j, q in enumerate(nbr_sub[s]):
+                    if q < S:
+                        posn[(s, int(q))] = j + 1
+            rpos = [{int(q): j for j, q in enumerate(nbr_sub[s]) if q < S}
+                    for s in range(S)]
+            for s in range(S):
+                ids = [s] + [int(q) for q in nbr_sub[s] if q < S]
+                for a, qa in enumerate(ids):
+                    Ga = G_np[s, a * nu:(a + 1) * nu]
+                    for b, qb in enumerate(ids):
+                        blk = Ga[:, b * nu:(b + 1) * nu]
+                        if qa == qb:
+                            Ed_acc[qa] += blk
+                        elif qb in rpos[qa]:
+                            En_acc[qa, rpos[qa][qb]] += blk
+            E_diag = jnp.asarray(Ed_acc)
+            E_nb = jnp.asarray(En_acc)
+        else:
+            Vc = jnp.conj(Vif)
+            E_nb_parts = []
+            for j in range(K):
+                mask_j = jnp.asarray(psub == nbr_sub[:, j, None, None])
+                E_nb_parts.append(jnp.einsum(
+                    "smk,sma,smkb->sab", mask_j.astype(Vif.dtype), Vc,
+                    pvals))
+            E_nb = jnp.stack(E_nb_parts, axis=1)             # (S, K, nu, nu)
 
         act = (np.arange(nu_max)[None, :] < np.asarray(nu_loc)[:, None])
         act_j = jnp.asarray(act)

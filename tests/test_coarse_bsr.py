@@ -145,3 +145,49 @@ def test_bsr_nonuniform_nu():
     nb, nr = compute_residual(state, res.x, f)
     assert float(nr[0] / nb[0]) < 1e-2
     assert int(res.iterations) <= 45
+
+
+def test_accumulation_galerkin_matches_multiplication():
+    """-hpddm_coarse_galerkin accumulation (the MatrixAccumulation
+    counterpart, HPDDM_operator.hpp:563-1021): per-subdomain partial
+    overlap contributions additively reduced must reproduce the
+    interface-slab (MatrixMultiplication) blocks — both equal the exact
+    Galerkin E on the bsr pattern — and the two-level solve must be
+    unchanged."""
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+    from hpddm_tpu.solvers.krylov import solve
+
+    S, Nx = 16, 96
+    gen = diffusion2d.generate_uniform(S, Nx, Nx, overlap=2,
+                                       with_neumann=True)
+
+    def build(galerkin):
+        opt = Options(schwarz_coarse_correction="deflated", geneo_nu=3,
+                      coarse_assembly="bsr", tol=1e-9)
+        opt["coarse_galerkin"] = galerkin
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        sch.solve_gevp(gen.neumann)
+        return sch, sch.build()
+
+    sch_m, st_m = build("multiplication")
+    sch_a, st_a = build("accumulation")
+    np.testing.assert_allclose(np.asarray(st_a.coarse.Eb_diag),
+                               np.asarray(st_m.coarse.Eb_diag),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_a.coarse.Eb_nbr),
+                               np.asarray(st_m.coarse.Eb_nbr),
+                               rtol=1e-10, atol=1e-12)
+
+    f = np.zeros((S, sch_m.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = jnp.asarray(f)
+    rm = solve(st_m, f, opt=sch_m.opt)
+    ra = solve(st_a, f, opt=sch_a.opt)
+    assert int(rm.iterations) == int(ra.iterations)
+    np.testing.assert_allclose(np.asarray(ra.x), np.asarray(rm.x),
+                               rtol=1e-8, atol=1e-10)
