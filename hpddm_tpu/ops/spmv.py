@@ -43,7 +43,7 @@ def spmm_dia(A: BatchedDIA, x: jax.Array) -> jax.Array:
     if max_off == 0:
         return vals[:, 0, :, None] * x if nd else jnp.zeros_like(x)
     xp = jnp.pad(x, ((0, 0), (max_off, max_off), (0, 0)))
-    out = jnp.zeros((S, n, mu), dtype=jnp.result_type(x.dtype, x.dtype))
+    out = jnp.zeros((S, n, mu), dtype=jnp.result_type(vals.dtype, x.dtype))
     for k, off in enumerate(A.offsets):
         shifted = xp[:, max_off + off: max_off + off + n, :]
         out = out + vals[:, k, :, None] * shifted
@@ -81,7 +81,7 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
         # (Schwarz._try_canvas_annotate never does this): fall back
         return spmm_dia(A, x)
     vc = vals.reshape(S, k, H, Wd)
-    odt = jnp.result_type(x.dtype, x.dtype)
+    odt = jnp.result_type(vals.dtype, x.dtype)
     sym = A.canvas_sym if A.canvas_sym is not None else (None,) * k
     if mu == 1:
         xc = x[:, :, 0].reshape(S, H, Wd)

@@ -771,10 +771,22 @@ class Schwarz:
         import jax
         from hpddm_tpu.precond.geneo import solve_gevp_lanczos
         from hpddm_tpu.ops.spmv import spmm
+        import os as _os
+        import time as _time
+        _tprof = _os.environ.get("HPDDM_TPU_TIME_SETUP") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(what):
+            nonlocal _t0
+            if _tprof:
+                t = _time.perf_counter()
+                print(f"[setup] {what}: {t - _t0:.1f}s", flush=True)
+                _t0 = t
         dec = self.dec
         A_neu_p = pack_local_matrices(self._permuted(neumann),
                                       n_max=self.n_max, fmt="auto",
                                       pad_identity=True)
+        _mark("pack neumann")
         mask = (dec.ov_mask.astype(dec.d.dtype) * dec.d)
 
         # every operator state crosses the jit boundary through ``aux``:
@@ -836,6 +848,9 @@ class Schwarz:
             Knb = build_banded_solver(
                 regs, lboxes, self.n_max, dtype=dec.d.dtype,
                 rows_per_block=int(opt.val("banded_block_rows")))
+            _mark("banded neumann factor (build/cache)")
+            jax.block_until_ready(Knb.Dinv)
+            _mark("banded factor H2D")
 
             def apply_Ainv(aux, r):
                 A_p, msk, A_neu, solver = aux
@@ -876,10 +891,12 @@ class Schwarz:
             aux = (self.A, mask, A_neu_p, prec)
 
         ncv = opt.val("lanczos_ncv")
+        _mark("operator prep")
         lam, V = solve_gevp_lanczos(
             apply_Ainv, apply_B, dec.S, self.n_max,
             nu_max_req, ncv=int(ncv) if ncv else None,
             dtype=dec.d.dtype, aux=aux)
+        _mark("lanczos scan + projected eig")
         return lam, V
 
     def build(self, dtype=None) -> SchwarzState:
@@ -1512,6 +1529,30 @@ class Schwarz:
 
         cfg = self._coarse_cfg()
         En_np = np.asarray(E_nb, dtype=hd)
+
+        lvl = self.opt.level(2)
+        if "krylov_method" not in lvl and not self.opt.set("level_2_tol"):
+            # No level-2 options: bsr ASSEMBLY (O(S*neighbors), no global-
+            # column tensor) + replicated dense DIRECT solve — the
+            # reference's default: a direct factorization of the
+            # assembled sparse E on the main processes
+            # (HPDDM_coarse_operator_impl.hpp:1630). Scatter the blocks
+            # into N_c^2 host f64, invert, round (CLAUDE.md invariant:
+            # f32 nested coarse solves floor ~1e-5 and can poison the
+            # deflated correction; host-f64-then-round does not).
+            N_c = S * nu_max
+            E_full = np.eye(N_c, dtype=hd)
+            for s in range(S):
+                sl_s = slice(s * nu_max, (s + 1) * nu_max)
+                E_full[sl_s, sl_s] = Ed_np[s]
+                for j, q in enumerate(nbr_sub[s]):
+                    if q < S:
+                        E_full[sl_s, q * nu_max:(q + 1) * nu_max] = \
+                            En_np[s, j]
+            E_inv = jnp.asarray(np.linalg.inv(E_full), dtype=E_diag.dtype)
+            return CoarseState(Z=Z, E_inv=E_inv, E=None,
+                               nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
+                               correction=correction)
 
         # overlapping neighbor-block Schwarz (level_2_schwarz_method):
         # local problem of block s = {s} u nbrs(s); blocks between two

@@ -175,12 +175,11 @@ def test_accumulation_galerkin_matches_multiplication():
 
     sch_m, st_m = build("multiplication")
     sch_a, st_a = build("accumulation")
-    np.testing.assert_allclose(np.asarray(st_a.coarse.Eb_diag),
-                               np.asarray(st_m.coarse.Eb_diag),
-                               rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(st_a.coarse.Eb_nbr),
-                               np.asarray(st_m.coarse.Eb_nbr),
-                               rtol=1e-10, atol=1e-12)
+    # no level-2 options -> bsr assembly + replicated direct solve: the
+    # two Galerkin algorithms must produce the same inverted E
+    np.testing.assert_allclose(np.asarray(st_a.coarse.E_inv),
+                               np.asarray(st_m.coarse.E_inv),
+                               rtol=1e-8, atol=1e-10)
 
     f = np.zeros((S, sch_m.n_max, 1))
     for s in range(S):

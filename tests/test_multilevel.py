@@ -141,11 +141,22 @@ def test_dense_coarse_auto_switches_to_bsr(monkeypatch, capsys):
     gen, sch, f = _setup(4, 40, 40, schwarz_coarse_correction="deflated",
                          geneo_nu=2)
     sch.solve_gevp(gen.neumann)
+    # without level-2 options, bsr *assembly* feeds a replicated direct
+    # solve (round 3: the reference's default is a direct factorization
+    # of the assembled E; nested-iterative only when level_2_* asks)
+    state = sch.build()
+    assert state.coarse.mode == "direct"
+    res = solve(state, f, opt=sch.opt)
+    nb, nr = compute_residual(state, res.x, f)
+    assert float(nr[0] / nb[0]) < 1e-2
+
+    sch.opt["level_2_tol"] = 1e-8
     state = sch.build()
     assert state.coarse.mode == "bsr"
     res = solve(state, f, opt=sch.opt)
     nb, nr = compute_residual(state, res.x, f)
     assert float(nr[0] / nb[0]) < 1e-2
+    del sch.opt["level_2_tol"]
 
     sch.opt["coarse_assembly"] = "dense"
     state_d = sch.build()

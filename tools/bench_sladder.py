@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_point(S, Nx, Ny, nu, steps):
+def run_point(S, Nx, Ny, nu, steps, tol=None):
     import jax
     import jax.numpy as jnp
     from hpddm_tpu.core.scaling import jacobi_scale
@@ -35,7 +35,13 @@ def run_point(S, Nx, Ny, nu, steps):
 
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = np.float32 if on_tpu else np.float64
-    tol = 1e-6 if dtype == np.float32 else 1e-8
+    if tol is None:
+        # the f32 true-residual floor grows with global size (~3e-3 at
+        # 1024^2, ~1.2e-2 at 2048^2 — PERF.md): solve to just above it and
+        # leave tighter accuracy to host-f64 iterative refinement
+        # (solvers/refine.py), the flagship protocol
+        tol = (2e-3 if Nx >= 2048 else 1e-6) if dtype == np.float32 \
+            else 1e-8
 
     def kappa(xx, yy):
         return (np.where((yy > 3.3) & (yy < 6.6), 1.0e4, 1.0)
@@ -46,6 +52,14 @@ def run_point(S, Nx, Ny, nu, steps):
                                        with_neumann=True, dtype=dtype)
     mats, f_list, neumann, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
     t_gen = time.perf_counter() - t0
+    # bsr ASSEMBLY (O(S*neighbors), no global-column tensor) + replicated
+    # dense direct coarse solve: at nc = S*nu <= ~20k the direct solve is
+    # the right design (the reference's main-process direct factorization
+    # of the assembled sparse E, host-f64-then-rounded). The nested
+    # iterative level-2 modes exist for larger nc; on the f32 chip their
+    # achievable inner residual floors near 1e-5 and the first ladder
+    # attempts stalled (inner 1e-2 -> outer plateau 1e-2) or diverged
+    # (tight inner tols in f32) — see PERF.md round 3.
     opt = Options(tol=tol, local_solver="dst_cheby",
                   local_cheby_steps=steps,
                   schwarz_coarse_correction="deflated", geneo_nu=nu,
@@ -84,14 +98,20 @@ def run_point(S, Nx, Ny, nu, steps):
 
 
 def main():
-    args = [int(a) for a in sys.argv[1:]]
+    tol = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("tol="):
+            tol = float(a[4:])
+        else:
+            args.append(int(a))
     Nx = args[0] if args else 2048
     Ss = args[1:] or [16, 64, 256]
     import jax
     print(f"backend={jax.default_backend()} grid={Nx}x{Nx}", flush=True)
     for S in Ss:
-        nu = 16 if S <= 16 else (8 if S <= 64 else 4)
-        run_point(S, Nx, Nx, nu=nu, steps=32)
+        nu = 16 if S <= 64 else 8
+        run_point(S, Nx, Nx, nu=nu, steps=32, tol=tol)
 
 
 if __name__ == "__main__":
