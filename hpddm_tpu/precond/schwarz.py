@@ -1549,7 +1549,20 @@ class Schwarz:
                     if q < S:
                         E_full[sl_s, q * nu_max:(q + 1) * nu_max] = \
                             En_np[s, j]
-            E_inv = jnp.asarray(np.linalg.inv(E_full), dtype=E_diag.dtype)
+            # rank-revealing inverse: large nu on small subdomains makes
+            # the high GenEO modes nearly dependent, and E assembled from
+            # f32 products is then numerically singular — a plain inverse
+            # blows up (measured at 512^2/S=64/nu=16: |E_inv| 2.5e10,
+            # deflated solve diverges to 1e2; rcond 1e-8 still left 7e7
+            # and relres 0.4; rcond 1e-5 -> stable 60-it solve). The f32
+            # product noise is ~1e-7 relative, amplified through the
+            # contrast — truncating below 1e-5*smax drops only
+            # noise-dominated directions, and deflation is insensitive to
+            # losing near-dependent coarse columns.
+            rcond = 1e-5 if np.asarray(E_diag).dtype == np.float32 \
+                else 1e-12
+            E_inv = jnp.asarray(np.linalg.pinv(E_full, rcond=rcond),
+                                dtype=E_diag.dtype)
             return CoarseState(Z=Z, E_inv=E_inv, E=None,
                                nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
                                correction=correction)

@@ -110,7 +110,10 @@ def main():
     import jax
     print(f"backend={jax.default_backend()} grid={Nx}x{Nx}", flush=True)
     for S in Ss:
-        nu = 16 if S <= 64 else 8
+        # nu sized to the local space: 16 GenEO modes of a <16k-dof
+        # subdomain are not all representable in f32 (the truncated
+        # coarse then under-deflates; PERF.md round 3)
+        nu = 16 if (Nx * Nx) // S >= 16000 else 8
         run_point(S, Nx, Nx, nu=nu, steps=32, tol=tol)
 
 
