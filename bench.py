@@ -18,6 +18,7 @@ import numpy as np
 
 
 def main():
+    _t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
     from hpddm_tpu.models import diffusion2d
@@ -117,6 +118,8 @@ def main():
     # failure/timeout the headline line still prints.
     flagship = ""
     try:
+        if time.perf_counter() - _t_start > 240:
+            raise TimeoutError("budget")    # cold caches ate the budget
         from hpddm_tpu.core.scaling import jacobi_scale
 
         def kap(xx, yy):
