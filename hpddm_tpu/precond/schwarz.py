@@ -950,13 +950,28 @@ class Schwarz:
             if self.optimized_mats is not None and \
                     variant in ("oras", "soras", "osm"):
                 src = self.optimized_mats
+            import os as _os
+            import time as _time
+            _tprof = _os.environ.get("HPDDM_TPU_TIME_SETUP") == "1"
+            _t0 = _time.perf_counter()
             solver = build_banded_solver(
                 src, lboxes, self.n_max, dtype=dt,
                 rows_per_block=int(opt.val("banded_block_rows", prefix=pfx)))
+            if _tprof:
+                jax.block_until_ready(solver.Dinv)
+                print(f"[build] banded factor: "
+                      f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+                _t0 = _time.perf_counter()
             coarse = None
             correction = opt.val("schwarz_coarse_correction", prefix=pfx)
             if correction is not None:
                 coarse = self._build_coarse(correction, jnp.dtype(dt))
+            if _tprof:
+                jax.tree_util.tree_map(
+                    lambda x: jax.block_until_ready(x)
+                    if hasattr(x, "block_until_ready") else x, coarse)
+                print(f"[build] coarse: "
+                      f"{_time.perf_counter() - _t0:.1f}s", flush=True)
             state = SchwarzState(dec=self.dec, A=self.A, solver=solver,
                                  coarse=coarse, variant=variant,
                                  bc=self._boundary_conditions())
@@ -1427,12 +1442,23 @@ class Schwarz:
         DZ = dec.d[:, :, None] * Z                           # (S, n, nu)
         W = spmm(self.A, DZ)
         E_diag = jnp.einsum("sna,snb->sab", jnp.conj(DZ), W)
-        # V = A^H (D Z): conjugate-transpose-packed locals (nonsymmetric OK)
-        A_H = pack_local_matrices(
-            self._permuted([MatrixCSR(m.scipy().conj().T.tocsr())
-                            for m in self.mats]),
-            n_max=self.n_max, fmt="auto")
-        V = spmm(A_H, DZ.astype(self.A.values.dtype)).astype(Z.dtype)
+        # V = A^H (D Z): for symmetric/Hermitian locals A^H = A and W is
+        # already it — skips the host transpose re-pack (15-20 s at the
+        # 1M-dof flagship); nonsymmetric matrices pack the conjugate
+        # transpose as before
+        def _is_herm(m):
+            c = m.scipy(expand=True).tocsr()
+            d = (c - c.conj().T).tocoo()
+            return d.nnz == 0 or not np.any(d.data != 0)
+
+        if all(_is_herm(m) for m in self.mats):
+            V = W.astype(Z.dtype)
+        else:
+            A_H = pack_local_matrices(
+                self._permuted([MatrixCSR(m.scipy().conj().T.tocsr())
+                                for m in self.mats]),
+                n_max=self.n_max, fmt="auto")
+            V = spmm(A_H, DZ.astype(self.A.values.dtype)).astype(Z.dtype)
         gidx = dec.if_idx[:, :, None]
         msk = dec.if_mask[:, :, None]
         Vif = jnp.where(msk, jnp.take_along_axis(V, gidx, axis=1), 0)

@@ -56,9 +56,12 @@ def main():
     from hpddm_tpu.core.scaling import jacobi_scale
     mats, f_list, neumann, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
     t_gen = time.perf_counter() - t0
+    # bsr assembly + replicated direct coarse: same 23 its as the dense
+    # assembly at this config, 37 s vs 54 s coarse build (round 3)
     opt = Options(tol=tol, local_solver=local,
                   local_cheby_steps=steps, banded_block_rows=block_rows,
-                  schwarz_coarse_correction="deflated", geneo_nu=nu)
+                  schwarz_coarse_correction="deflated", geneo_nu=nu,
+                  coarse_assembly="bsr")
     sch = Schwarz(mats, gen.neighbors, gen.mappings, d=gen.d,
                   options=opt)
     sch.set_grid_geometry(gen.boxes, Nx, Ny)
