@@ -60,6 +60,13 @@ class BatchedDIA:
     # value-plane streams to 3; the result is bitwise unchanged.
     canvas_sym: Optional[Tuple[Optional[int], ...]] = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # pre-split canvas-shaped value planes ((S, H, W) each, in the
+    # SpMM-path dtype). Slicing the packed (S, ndiag, n) buffer *inside*
+    # a jitted solve materializes per-plane copies every scan step when
+    # the operator state crosses the jit boundary as an argument —
+    # measured 472 us vs 86 us per GMV at 2048^2/16 (PERF.md round 3).
+    # Built by Schwarz._try_canvas_annotate alongside canvas_hw.
+    values_planes: Optional[Tuple[jax.Array, ...]] = None
 
     @property
     def S(self) -> int:

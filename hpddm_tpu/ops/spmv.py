@@ -80,9 +80,16 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
         # canvas_hw set by hand on a non-stencil offset pattern
         # (Schwarz._try_canvas_annotate never does this): fall back
         return spmm_dia(A, x)
-    vc = vals.reshape(S, k, H, Wd)
     odt = jnp.result_type(vals.dtype, x.dtype)
     sym = A.canvas_sym if A.canvas_sym is not None else (None,) * k
+    if A.values_planes is not None:
+        # pre-split (S, H, W) planes: no in-jit slicing of the packed
+        # buffer (it materializes per-plane copies every scan step when
+        # the state is a jit argument — 472 vs 86 us GMV, PERF.md r3)
+        plane = lambda ki: A.values_planes[ki]          # noqa: E731
+    else:
+        vc = vals.reshape(S, k, H, Wd)
+        plane = lambda ki: vc[:, ki]                    # noqa: E731
     if mu == 1:
         xc = x[:, :, 0].reshape(S, H, Wd)
         xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1)))
@@ -91,12 +98,12 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
             if sym[ki] is not None:
                 # V_k[p] = V_j[p + m] (exact transpose plane): the term is
                 # the m-shift of (V_j * x) — no HBM read of plane k
-                base = jnp.pad(vc[:, sym[ki]] * xc,
+                base = jnp.pad(plane(sym[ki]) * xc,
                                ((0, 0), (1, 1), (1, 1)))
                 out = out + base[:, 1 + di: 1 + di + H,
                                  1 + dj: 1 + dj + Wd]
             else:
-                out = out + vc[:, ki] * \
+                out = out + plane(ki) * \
                     xp[:, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
         return out.reshape(S, n, 1)
     # mu > 1: batch the RHS axis ahead of the canvas dims so W stays the
@@ -106,12 +113,12 @@ def spmm_dia_canvas(A: BatchedDIA, x: jax.Array) -> jax.Array:
     out = jnp.zeros((S, mu, H, Wd), dtype=odt)
     for ki, (di, dj) in enumerate(moves):
         if sym[ki] is not None:
-            base = jnp.pad(vc[:, None, sym[ki]] * xc,
+            base = jnp.pad(plane(sym[ki])[:, None] * xc,
                            ((0, 0), (0, 0), (1, 1), (1, 1)))
             out = out + base[:, :, 1 + di: 1 + di + H,
                              1 + dj: 1 + dj + Wd]
         else:
-            out = out + vc[:, None, ki] * \
+            out = out + plane(ki)[:, None] * \
                 xp[:, :, 1 + di: 1 + di + H, 1 + dj: 1 + dj + Wd]
     return jnp.moveaxis(out.reshape(S, mu, n), 1, -1)
 

@@ -532,6 +532,27 @@ class Schwarz:
         import dataclasses as _dc2
         self.A = _dc2.replace(
             self.A, values_lp=self.A.values.astype(jnp.bfloat16))
+        self._refresh_canvas_planes()
+
+    def _refresh_canvas_planes(self) -> None:
+        """(Re)build the pre-split canvas value planes in the hot dtype.
+
+        In-jit slicing of the packed (S, ndiag, n) buffer materializes
+        per-plane copies every scan step when the operator state is a jit
+        *argument* (as all at-scale solve paths pass it): GMV measured
+        472 us vs 86 us with pre-split planes at 2048^2/16 (PERF.md
+        round 3)."""
+        import dataclasses as _dc3
+        from hpddm_tpu.core.formats import BatchedDIA as _DIA
+        A = self.A
+        if not isinstance(A, _DIA) or A.canvas_hw is None:
+            return
+        H, W = A.canvas_hw
+        vals = A.values_lp if A.values_lp is not None else A.values
+        S, k, _ = vals.shape
+        vc = vals.reshape(S, k, H, W)
+        self.A = _dc3.replace(
+            A, values_planes=tuple(vc[:, ki] for ki in range(k)))
 
     def exchange_matrices(self) -> None:
         """Algebraic matrix-overlap exchange: the matrix variant of
@@ -849,7 +870,8 @@ class Schwarz:
                 regs, lboxes, self.n_max, dtype=dec.d.dtype,
                 rows_per_block=int(opt.val("banded_block_rows")))
             _mark("banded neumann factor (build/cache)")
-            jax.block_until_ready(Knb.Dinv)
+            if _tprof:
+                jax.block_until_ready(Knb.Dinv)
             _mark("banded factor H2D")
 
             def apply_Ainv(aux, r):
@@ -1134,6 +1156,7 @@ class Schwarz:
                     return              # seam coupling present: not a grid
         self.A = _dc.replace(self.A, canvas_hw=(H, W),
                              canvas_sym=self._canvas_symmetry(moves))
+        self._refresh_canvas_planes()
 
     def _canvas_symmetry(self, moves):
         """Transpose-plane map for the canvas SpMM (None when unusable).
