@@ -1674,10 +1674,21 @@ class Schwarz:
             for j, q in enumerate(nbr_sub[s]):
                 oh[s, j, q] = 1.0
 
+        inner_tol = cfg["inner_tol"]
+        if np.asarray(E_diag).dtype == np.float32 and inner_tol < 1e-5:
+            # the f32 nested coarse solve floors near 1e-5; asking for
+            # more spins the inner iteration to max_it and the returned
+            # noise can *diverge* the deflated outer solve (measured:
+            # relres 3.0 on chip at level_2_tol 1e-7; PERF.md round 3)
+            print(f"WARNING -- level_2_tol {inner_tol:g} clamped to 1e-5 "
+                  f"(f32 nested coarse floor; tighter requests poison "
+                  f"the outer correction)")
+            inner_tol = 1e-5
+
         return CoarseState(
             Z=Z, E_inv=None, nu_loc=jnp.asarray(nu_loc), E=None,
             nu_max=nu_max, correction=correction, mode="bsr",
-            inner_tol=cfg["inner_tol"], inner_max_it=cfg["inner_max_it"],
+            inner_tol=inner_tol, inner_max_it=cfg["inner_max_it"],
             method=cfg["method"], restart=cfg["restart"], prec=cfg["prec"],
             lvl3=cfg["lvl3"], l3_tol=cfg["l3_tol"],
             l3_max_it=cfg["l3_max_it"],

@@ -190,3 +190,29 @@ def test_accumulation_galerkin_matches_multiplication():
     assert int(rm.iterations) == int(ra.iterations)
     np.testing.assert_allclose(np.asarray(ra.x), np.asarray(rm.x),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_f32_nested_coarse_tol_clamped(capsys):
+    """level_2_tol below the f32 nested-coarse floor (~1e-5) is clamped
+    with a warning: tighter requests spin the inner solve to max_it and
+    the returned noise diverges the deflated outer iteration (measured
+    relres 3.0 on chip; PERF.md round 3)."""
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+
+    def build(npdt):
+        gen = diffusion2d.generate_uniform(4, 48, 48, overlap=1,
+                                           with_neumann=True, dtype=npdt)
+        opt = Options(schwarz_coarse_correction="deflated", geneo_nu=2,
+                      coarse_assembly="bsr")
+        opt["level_2_tol"] = 1e-8
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        sch.solve_gevp(gen.neumann)
+        return sch.build()
+
+    assert build(np.float64).coarse.inner_tol == 1e-8   # f64: honored
+    assert build(np.float32).coarse.inner_tol == 1e-5   # f32: clamped
+    assert "clamped" in capsys.readouterr().out

@@ -110,10 +110,11 @@ def main():
     import jax
     print(f"backend={jax.default_backend()} grid={Nx}x{Nx}", flush=True)
     for S in Ss:
-        # nu sized to the local space: 16 GenEO modes of a <16k-dof
-        # subdomain are not all representable in f32 (the truncated
-        # coarse then under-deflates; PERF.md round 3)
-        nu = 16 if (Nx * Nx) // S >= 16000 else 8
+        # nu sized to the local space: 16 GenEO modes need >=50k-dof
+        # subdomains in f32 (at 16.9k locals nu=16 under-deflates after
+        # rank truncation — 100-it stall vs 78 its at nu=8; at 4.4k it
+        # used to diverge outright; PERF.md round 3)
+        nu = 16 if (Nx * Nx) // S >= 50000 else 8
         run_point(S, Nx, Nx, nu=nu, steps=32, tol=tol)
 
 
