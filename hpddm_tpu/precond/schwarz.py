@@ -1419,10 +1419,34 @@ class Schwarz:
                                                                   rows)]
                 Eloc_inv = jnp.asarray(np.linalg.inv(El), dtype=E.dtype)
                 loc_idx = jnp.asarray(li)
-            # third level: aggregate-constant deflation of E (buildThree)
-            ind = self._aggregate_ind(S, cfg["agg"])
-            n3 = ind.shape[1]
-            Z2 = jnp.asarray(np.repeat(ind, nu_max, axis=0), dtype=E.dtype)
+            # third level (buildThree): constant-per-aggregate deflation
+            # of E, or spectral vectors when level_3_geneo_nu is set
+            # (smallest eigenpairs of each aggregate's diagonal sub-block
+            # of E — the same recursion as the bsr path)
+            if cfg["l3_nu"] > 0:
+                hd2 = (np.complex128 if np.iscomplexobj(np.asarray(E))
+                       else np.float64)
+                E_np2 = np.asarray(E, dtype=hd2)
+                agg = cfg["agg"]
+                cols = []
+                for g in range((S + agg - 1) // agg):
+                    rows = np.concatenate(
+                        [s * nu_max + np.arange(nu_max)
+                         for s in range(g * agg, min((g + 1) * agg, S))])
+                    Eg = E_np2[np.ix_(rows, rows)]
+                    Eg = 0.5 * (Eg + Eg.conj().T)
+                    w3_, v3_ = np.linalg.eigh(Eg)
+                    kk = min(cfg["l3_nu"], len(rows))
+                    blk = np.zeros((N_c, kk), dtype=hd2)
+                    blk[rows, :] = v3_[:, :kk]
+                    cols.append(blk)
+                Z2 = jnp.asarray(np.concatenate(cols, axis=1),
+                                 dtype=E.dtype)
+            else:
+                ind = self._aggregate_ind(S, cfg["agg"])
+                Z2 = jnp.asarray(np.repeat(ind, nu_max, axis=0),
+                                 dtype=E.dtype)
+            n3 = Z2.shape[1]
             E2 = Z2.T.conj() @ (E @ Z2)
             E2 = E2 + (1e-12 * jnp.trace(E2) / n3
                        * jnp.eye(n3, dtype=E.dtype))

@@ -200,3 +200,23 @@ def test_level3_spectral_beats_constants_at_scale():
     its_spec, n3_spec = coarse_its(1)
     assert n3_const == n3_spec == 16               # same-size comparison
     assert its_spec < its_const, (its_spec, its_const)
+
+
+def test_level3_spectral_dense_path():
+    """level_3_geneo_nu also dispatches on the dense-iterative coarse
+    (Z2 becomes per-aggregate eigenvectors of E's diagonal sub-blocks),
+    shrinking or matching coarse iterations vs constants."""
+    gen, sch, f = _setup(16, 64, 64, schwarz_coarse_correction="deflated",
+                         geneo_nu=2)
+    sch.solve_gevp(gen.neumann)
+    sch.opt["level_2_tol"] = 1e-8
+    sch.opt["level_2_max_it"] = 500
+    sch.opt["level_3_aggregate_size"] = 4
+
+    its_c, state_c = _coarse_its(sch)
+    assert state_c.coarse.Z2.shape[1] == 4        # constants: one/aggregate
+
+    sch.opt["level_3_geneo_nu"] = 2
+    its_s, state_s = _coarse_its(sch)
+    assert state_s.coarse.Z2.shape[1] == 8        # 2 spectral cols/aggregate
+    assert its_s <= its_c, (its_s, its_c)
