@@ -1,0 +1,77 @@
+"""Preconditioned sparse least-squares (aldaas2021robust capability).
+
+Reference anchor: .github/workflows/aldaas2021robust.sh:28-56 runs
+KSPLSQR + PCHPDDM on the normal equations of rectangular test matrices;
+here the same capability is native (solvers/leastsquares.py): CGLS on
+min ||Ax - b|| with a one-/two-level Schwarz preconditioner built
+algebraically on A^T A.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from hpddm_tpu.options import Options
+from hpddm_tpu.solvers.leastsquares import LeastSquaresSolver
+
+
+def _gradient_problem(nx=24, ny=24, delta=1.0e-3, seed=0):
+    """A = [grid gradient; sqrt(delta) I] -> A^T A = Laplacian + delta I."""
+    n = nx * ny
+    ids = np.arange(n).reshape(nx, ny)
+    hedges = np.stack([ids[:-1, :].ravel(), ids[1:, :].ravel()], axis=1)
+    vedges = np.stack([ids[:, :-1].ravel(), ids[:, 1:].ravel()], axis=1)
+    edges = np.concatenate([hedges, vedges], axis=0)
+    ne = len(edges)
+    rows = np.repeat(np.arange(ne), 2)
+    cols = edges.ravel()
+    vals = np.tile(np.array([-1.0, 1.0]), ne)
+    G = sp.csr_matrix((vals, (rows, cols)), shape=(ne, n))
+    A = sp.vstack([G, np.sqrt(delta) * sp.identity(n)]).tocsr()
+    rng = np.random.default_rng(seed)
+    b = rng.normal(size=A.shape[0])
+    return A, b
+
+
+def _direct_ls(A, b):
+    N = sp.csr_matrix(A.T @ A)
+    return spla.spsolve(N.tocsc(), A.T @ b)
+
+
+def test_cgls_one_level_matches_direct():
+    A, b = _gradient_problem()
+    ls = LeastSquaresSolver(A, n_subdomains=4, overlap=2, options=Options())
+    res = ls.solve(b, tol=1.0e-10, max_it=400)
+    assert res.rel_res <= 1.0e-10
+    x_ref = _direct_ls(A, b)
+    assert np.linalg.norm(res.x - x_ref) <= 1.0e-6 * np.linalg.norm(x_ref)
+
+
+def test_cgls_geneo_two_level_beats_one_level():
+    A, b = _gradient_problem(nx=48, ny=48, delta=1.0e-4, seed=1)
+    its = {}
+    x_ref = _direct_ls(A, b)
+    # CGLS is a CG: the solver coerces nonsymmetric variants (here the
+    # default RAS and a requested "balanced" correction) to asm/additive
+    for name, opt in [
+        ("one", Options()),
+        ("two", Options(schwarz_coarse_correction="balanced", geneo_nu=8)),
+    ]:
+        ls = LeastSquaresSolver(A, n_subdomains=16, overlap=2, options=opt)
+        res = ls.solve(b, tol=1.0e-8, max_it=500)
+        assert res.rel_res <= 1.0e-8, name
+        assert np.linalg.norm(res.x - x_ref) <= \
+            1.0e-5 * np.linalg.norm(x_ref), name
+        its[name] = res.iterations
+    # the GenEO coarse space (multiplicity-weighted contained-row SPSD
+    # splitting pencils) must pay for itself on the near-singular normal
+    # equations (delta -> 0): measured 29 vs 64 when this was written
+    assert its["two"] < 0.7 * its["one"], its
+
+
+def test_rectangular_shapes_rejected_gracefully():
+    A, b = _gradient_problem(nx=8, ny=8)
+    ls = LeastSquaresSolver(A, n_subdomains=2, overlap=1, options=Options())
+    with pytest.raises((ValueError, IndexError)):
+        ls.solve(b[:-3])  # wrong length must not silently truncate
