@@ -72,6 +72,10 @@ def test_driver_gcrodr_sequence():
     ["examples/stokes.py", "-N", "4", "-Nc", "24",
      "-hpddm_schwarz_coarse_correction", "deflated",
      "-hpddm_geneo_nu", "8"],
+    ["examples/least_squares.py", "-N", "4", "-Nx", "24",
+     "-hpddm_schwarz_coarse_correction", "additive",
+     "-hpddm_geneo_nu", "4"],
+    ["examples/custom_operator.py", "-n", "60", "-mu", "2"],
 ])
 def test_model_drivers(args):
     r = _run(args)
