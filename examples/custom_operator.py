@@ -58,9 +58,14 @@ def main(argv=None):
     b = jnp.asarray(rng.uniform(0.0, 100.0, (S, n, mu)).astype(dtype))
     res = solve(op, b, opt=opt)
     tol = float(opt.val("tol", 1.0e-6))
-    rel = float(jnp.linalg.norm(mv(res.x) - b) / jnp.linalg.norm(b))
+    # per-RHS gate (the reference checks convergence per right-hand side;
+    # a Frobenius norm can hide one stalled column behind converged ones)
+    r = mv(res.x) - b
+    rel_cols = (jnp.linalg.norm(r.reshape(-1, mu), axis=0)
+                / jnp.linalg.norm(b.reshape(-1, mu), axis=0))
+    rel = float(jnp.max(rel_cols))
     print(f"{opt.val('krylov_method', 'gmres')}: {int(res.iterations)} "
-          f"iterations, true relative residual {rel:.2e}")
+          f"iterations, worst per-RHS true relative residual {rel:.2e}")
     return 0 if rel <= 100.0 * tol else 1
 
 

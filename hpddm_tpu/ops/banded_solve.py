@@ -19,8 +19,23 @@ dense (wx, wx) coupling blocks — same recursion with matmul couplings,
 3x the coupling storage. The solve stays two lax.scan
 sweeps of batched (wx, wx) x (wx, mu) matmuls — MXU work, exact for
 *heterogeneous* coefficients where the DST solver is only spectrally
-close. Factorization runs on the host in float64 (TPU has no f64; see
-CLAUDE.md) and is rounded to the device dtype.
+close.
+
+Factorization (round 4): two paths.
+
+* ``method="device"`` (default on TPU): the raw blocks are extracted
+  vectorized on host (one fancy-index scatter per subdomain — no scipy
+  ``todense`` loops), shipped once (f32), and the Schur recursion runs
+  *on device* as a ``lax.scan`` of batched MXU inversions, each polished
+  by ``newton`` steps of X <- X (2I - A X) at ``Precision.HIGHEST``.
+  This kills the two dominant flagship setup costs (PERF.md round 3):
+  the ~60 s host-f64 recursion and the 17-97 s disk-bound 1.1 GB npz
+  factor cache round-trip (the device path does not touch the cache —
+  recomputing is faster than any disk load).
+* ``method="host"`` (default on CPU, where x64 is available): the
+  recursion runs on the host in float64 and is rounded to the device
+  dtype (TPU has no f64; see CLAUDE.md), with the content-keyed factor
+  cache.
 
 ``rows_per_block=r`` groups r grid rows per elimination block: the
 inter-block coupling stays confined to one row of lanes (the corner), so
@@ -38,6 +53,7 @@ practical up to r*wx ~ 1024.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -149,10 +165,159 @@ def _factor_cache_path(mats, boxes, n_max, dtype, slot_maps, r):
     return os.path.join(cache_dir, f"banded_{h.hexdigest()}.npz")
 
 
+def _extract_blocks(mats, boxes, n_max, slot_maps, r):
+    """Vectorized raw-block extraction (host, f64).
+
+    One fancy-index scatter per subdomain replaces the old per-block
+    scipy ``todense`` loops (O(nbk) scipy slices each) — the extraction
+    is O(nnz) numpy.  Returns ``(D, cl, cu, idx_fwd, msk_fwd, idx_inv,
+    msk_inv, dense_mode, nbk, L, wx_max)`` with D the *raw* (uninverted)
+    elimination blocks, identity on padded/hole lanes."""
+    S = len(boxes)
+    wy_hi = max(j1 - j0 for (_, _, j0, j1) in boxes)
+    wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
+    nbk = -(-wy_hi // r)                 # ceil: block rows
+    L = r * wx_max                       # lanes per block
+
+    entries = []
+    dense_mode = False
+    for s_, (i0, i1, j0, j1) in enumerate(boxes):
+        wx, wy = i1 - i0, j1 - j0
+        K = mats[s_].scipy(expand=True) if hasattr(mats[s_], "scipy") \
+            else mats[s_].tocsr()
+        coo = K.tocoo()
+        slots = None if slot_maps is None else np.asarray(slot_maps[s_],
+                                                          dtype=np.int64)
+        if slots is not None and slots.shape[0] == wy * wx and \
+                np.array_equal(slots, np.arange(wy * wx)):
+            slots = None                      # identity map: no embedding
+        rr = coo.row if slots is None else slots[coo.row]
+        cc = coo.col if slots is None else slots[coo.col]
+        data = np.asarray(coo.data, dtype=np.float64)
+        if K.shape[0] < (wy * wx if slots is None else 0):
+            raise ValueError(f"subdomain {s_}: matrix smaller than its box")
+        rj, cj = rr // wx, cc // wx
+        if np.abs(rj - cj).max(initial=0) > 1:
+            raise ValueError("matrix is not block-tridiagonal in grid rows")
+        # diagonal inter-row coupling (5/7-point stencils) keeps the O(cw)
+        # coupling storage; anything else (elasticity node blocks, 9-point
+        # corners) switches to dense (cw, cw) coupling blocks
+        off = rj != cj
+        if np.any(off & (rr % wx != cc % wx) & (data != 0)):
+            dense_mode = True
+        entries.append((rr, cc, data, wx, wy, slots))
+
+    D = np.zeros((nbk, S, L, L))
+    cshape = (nbk, S, wx_max, wx_max) if dense_mode else (nbk, S, wx_max)
+    cl = np.zeros(cshape)
+    cu = np.zeros(cshape)
+    idx_fwd = np.zeros((S, nbk * L), dtype=np.int32)
+    msk_fwd = np.zeros((S, nbk * L, 1))
+    idx_inv = np.zeros((S, n_max), dtype=np.int32)
+    msk_inv = np.zeros((S, n_max, 1))
+
+    for s, (rr, cc, data, wx, wy, slots) in enumerate(entries):
+        gy, gx = rr // wx, rr % wx
+        hy, hx = cc // wx, cc % wx
+        jr, jc = gy // r, hy // r
+        inb = jr == jc                             # in-block entries
+        pr = (gy % r) * wx_max + gx
+        pc = (hy % r) * wx_max + hx
+        np.add.at(D[:, s], (jr[inb], pr[inb], pc[inb]), data[inb])
+        ml = jr == jc + 1      # lower coupling K[row gy0, row gy0-1] @ jr
+        mu_ = jc == jr + 1     # upper coupling K[row gy0-1, row gy0] @ jc
+        if dense_mode:
+            np.add.at(cl[:, s], (jr[ml], gx[ml], hx[ml]), data[ml])
+            np.add.at(cu[:, s], (jc[mu_], gx[mu_], hx[mu_]), data[mu_])
+        else:
+            kl = ml & (gx == hx)
+            ku = mu_ & (gx == hx)
+            np.add.at(cl[:, s], (jr[kl], gx[kl]), data[kl])
+            np.add.at(cu[:, s], (jc[ku], gx[ku]), data[ku])
+        # identity diagonal on inactive lanes (box padding + hole slots)
+        n = wy * wx
+        eff = np.arange(n) if slots is None else slots
+        canvas = (eff // wx) * wx_max + (eff % wx)   # block-lane flat index
+        active = np.zeros(nbk * L, dtype=bool)
+        active[canvas] = True
+        inact = np.nonzero(~active)[0]
+        D[inact // L, s, inact % L, inact % L] = 1.0
+        idx_fwd[s, canvas] = np.arange(len(eff))
+        msk_fwd[s, canvas, 0] = 1.0
+        idx_inv[s, : len(eff)] = canvas
+        msk_inv[s, : len(eff), 0] = 1.0
+    return (D, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
+            nbk, L, wx_max)
+
+
+def _schur_host(D, cl, cu, dense_mode, wx_max):
+    """Host-f64 Schur recursion, in place: D <- per-block inverse factors.
+
+    Inversions *batched over subdomains* (threaded LAPACK: ~4x faster
+    than per-subdomain loops); cl/cu are zero beyond each subdomain's
+    true wx, so the batched corner correction is a no-op on padded
+    lanes."""
+    L = D.shape[-1]
+    lo = L - wx_max
+    prev = np.linalg.inv(D[0])
+    D[0] = prev
+    for jb in range(1, D.shape[0]):
+        corner = prev[:, lo:, lo:]
+        if dense_mode:
+            D[jb, :, :wx_max, :wx_max] -= cl[jb] @ corner @ cu[jb]
+        else:
+            D[jb, :, :wx_max, :wx_max] -= \
+                cl[jb][:, :, None] * corner * cu[jb][:, None, :]
+        prev = np.linalg.inv(D[jb])
+        D[jb] = prev
+    return D
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dense_mode", "newton", "wx_max"))
+def _schur_device(D, cl, cu, *, dense_mode, newton, wx_max):
+    """On-device Schur recursion: lax.scan of batched MXU inversions.
+
+    Working precision is the device dtype (f32 on TPU).  Each LU inverse
+    is polished with ``newton`` steps of X <- X + X (I - A X) at
+    ``Precision.HIGHEST``; per-step f32 errors do not compound visibly
+    through the recursion for Jacobi-scaled operators (the Schur blocks
+    contract; validated against host-f64 factors in tests/test_banded.py).
+    """
+    L = D.shape[-1]
+    lo = L - wx_max
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(L, dtype=D.dtype)
+
+    def polish(X, A):
+        for _ in range(newton):
+            R = eye - jnp.einsum("sij,sjk->sik", A, X, precision=hp)
+            X = X + jnp.einsum("sij,sjk->sik", X, R, precision=hp)
+        return X
+
+    def step(prev, inp):
+        Dj, clj, cuj = inp
+        corner = prev[:, lo:, lo:]
+        if dense_mode:
+            corr = jnp.einsum("sij,sjk->sik", clj,
+                              jnp.einsum("sij,sjk->sik", corner, cuj,
+                                         precision=hp), precision=hp)
+        else:
+            corr = clj[:, :, None] * corner * cuj[:, None, :]
+        A = Dj.at[:, :wx_max, :wx_max].add(-corr)
+        X = polish(jnp.linalg.inv(A), A)
+        return X, X
+
+    # cl[0] is all-zero, so the first step's corner correction vanishes
+    _, Dinv = lax.scan(step, jnp.zeros_like(D[0]), (D, cl, cu))
+    return Dinv
+
+
 def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int]],
                         n_max: int, dtype=jnp.float32,
                         slot_maps: Optional[Sequence] = None,
-                        rows_per_block: int = 1) -> BandedSolver:
+                        rows_per_block: int = 1,
+                        method: str = "auto") -> BandedSolver:
     """Factor local matrices given in row-major grid ordering.
 
     mats: MatrixCSR (or scipy) local matrices, local index = iy*wx + ix;
@@ -164,150 +329,60 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
     box (e.g. a missing corner): the matrix is embedded into the full box
     with identity rows on the holes — still block-tridiagonal.
 
-    rows_per_block: grid rows eliminated per block (see module doc)."""
-    import scipy.sparse as sp
+    rows_per_block: grid rows eliminated per block (see module doc).
+
+    method: "device" runs the Schur recursion on the accelerator (module
+    doc; no disk cache — recomputing beats loading), "host" in f64 on the
+    host with the content-keyed factor cache, "auto" (default) picks
+    device on TPU and host on CPU.  HPDDM_TPU_BANDED_FACTOR overrides;
+    HPDDM_TPU_BANDED_NEWTON sets the device-path polish steps (default 1).
+    """
+    import os
     S = len(boxes)
     r = max(int(rows_per_block), 1)
+    method = os.environ.get("HPDDM_TPU_BANDED_FACTOR", method)
+    if method not in ("auto", "host", "device"):
+        raise ValueError(f"unknown banded factor method {method!r}")
+    if method == "auto":
+        method = "device" if (jax.default_backend() != "cpu"
+                              and np.dtype(dtype) == np.float32) else "host"
+
+    if method == "device":
+        (D, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
+         nbk, L, wx_max) = _extract_blocks(mats, boxes, n_max, slot_maps, r)
+        npdt = np.dtype(dtype)
+        newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "1"))
+        Dinv = _schur_device(jnp.asarray(D.astype(npdt, copy=False)),
+                             jnp.asarray(cl.astype(npdt, copy=False)),
+                             jnp.asarray(cu.astype(npdt, copy=False)),
+                             dense_mode=dense_mode, newton=newton,
+                             wx_max=wx_max)
+        return BandedSolver(
+            Dinv=Dinv,
+            cl=jnp.asarray(cl.astype(npdt, copy=False)),
+            cu=jnp.asarray(cu.astype(npdt, copy=False)),
+            idx_fwd=jnp.asarray(idx_fwd),
+            msk_fwd=jnp.asarray(msk_fwd.astype(npdt, copy=False)),
+            idx_inv=jnp.asarray(idx_inv),
+            msk_inv=jnp.asarray(msk_inv.astype(npdt, copy=False)),
+            wy_max=nbk, wx_max=L, n_max=n_max, S=S, cw=wx_max)
+
     cache_path = _factor_cache_path(mats, boxes, n_max, dtype, slot_maps, r)
-    if cache_path is not None:
-        import os
-        if os.path.exists(cache_path):
-            z = np.load(cache_path)
-            return BandedSolver(
-                Dinv=jnp.asarray(z["Dinv"]), cl=jnp.asarray(z["cl"]),
-                cu=jnp.asarray(z["cu"]),
-                idx_fwd=jnp.asarray(z["idx_fwd"]),
-                msk_fwd=jnp.asarray(z["msk_fwd"]),
-                idx_inv=jnp.asarray(z["idx_inv"]),
-                msk_inv=jnp.asarray(z["msk_inv"]),
-                wy_max=int(z["wy_max"]), wx_max=int(z["wx_max"]),
-                n_max=int(z["n_max"]), S=int(z["S"]), cw=int(z["cw"]))
-    wy_hi = max(j1 - j0 for (_, _, j0, j1) in boxes)
-    wx_max = max(i1 - i0 for (i0, i1, _, _) in boxes)
-    nbk = -(-wy_hi // r)                 # ceil: block rows
-    L = r * wx_max                       # lanes per block
+    if cache_path is not None and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return BandedSolver(
+            Dinv=jnp.asarray(z["Dinv"]), cl=jnp.asarray(z["cl"]),
+            cu=jnp.asarray(z["cu"]),
+            idx_fwd=jnp.asarray(z["idx_fwd"]),
+            msk_fwd=jnp.asarray(z["msk_fwd"]),
+            idx_inv=jnp.asarray(z["idx_inv"]),
+            msk_inv=jnp.asarray(z["msk_inv"]),
+            wy_max=int(z["wy_max"]), wx_max=int(z["wx_max"]),
+            n_max=int(z["n_max"]), S=int(z["S"]), cw=int(z["cw"]))
 
-    # pre-pass: diagonal inter-row coupling (5/7-point stencils) keeps
-    # the O(cw) coupling storage; anything else (elasticity node blocks,
-    # 9-point corners) switches to dense (cw, cw) coupling blocks
-    dense_mode = False
-    for s_, (i0, i1, j0, j1) in enumerate(boxes):
-        wx = i1 - i0
-        K0 = mats[s_].scipy(expand=True) if hasattr(mats[s_], "scipy") \
-            else mats[s_].tocsr()
-        coo0 = K0.tocoo()
-        rr = coo0.row if slot_maps is None else \
-            np.asarray(slot_maps[s_], dtype=np.int64)[coo0.row]
-        cc = coo0.col if slot_maps is None else \
-            np.asarray(slot_maps[s_], dtype=np.int64)[coo0.col]
-        off = (rr // wx) != (cc // wx)
-        if np.any(off & (rr % wx != cc % wx) & (coo0.data != 0)):
-            dense_mode = True
-            break
-
-    Dinv = np.zeros((nbk, S, L, L))
-    for j in range(nbk):
-        Dinv[j, :, np.arange(L), np.arange(L)] = 1.0
-    cshape = (nbk, S, wx_max, wx_max) if dense_mode else (nbk, S, wx_max)
-    cl = np.zeros(cshape)
-    cu = np.zeros(cshape)
-    idx_fwd = np.zeros((S, nbk * L), dtype=np.int32)
-    msk_fwd = np.zeros((S, nbk * L, 1))
-    idx_inv = np.zeros((S, n_max), dtype=np.int32)
-    msk_inv = np.zeros((S, n_max, 1))
-
-    for s, (i0, i1, j0, j1) in enumerate(boxes):
-        wy, wx = j1 - j0, i1 - i0
-        K = mats[s].scipy(expand=True) if hasattr(mats[s], "scipy") \
-            else mats[s].tocsr()
-        n = wy * wx
-        slots = None if slot_maps is None else np.asarray(slot_maps[s],
-                                                          dtype=np.int64)
-        if slots is not None and slots.shape[0] == n and \
-                np.array_equal(slots, np.arange(n)):
-            slots = None                      # identity map: no embedding
-        if slots is not None:
-            # embed into the full box: identity on hole slots
-            coo = K.tocoo()
-            hole = np.ones(n, dtype=bool)
-            hole[slots] = False
-            hi = np.nonzero(hole)[0]
-            K = sp.coo_matrix(
-                (np.concatenate([coo.data, np.ones(len(hi))]),
-                 (np.concatenate([slots[coo.row], hi]),
-                  np.concatenate([slots[coo.col], hi]))),
-                shape=(n, n)).tocsr()
-        if K.shape[0] < n:
-            raise ValueError(f"subdomain {s}: matrix smaller than its box")
-        coo = K.tocoo()
-        rj, cj = coo.row // wx, coo.col // wx
-        if np.abs(rj - cj).max(initial=0) > 1:
-            raise ValueError("matrix is not block-tridiagonal in grid rows")
-        # extract blocks in f64, r grid rows per elimination block
-        Kd = K.astype(np.float64)
-
-        def row_slice(gy):
-            return slice(gy * wx, (gy + 1) * wx)
-
-        def coupling(gy):
-            """(cl, cu) blocks between grid rows gy-1 and gy: diagonals
-            in diag mode, dense (wx, wx) blocks otherwise."""
-            a = np.asarray(Kd[row_slice(gy), row_slice(gy - 1)].todense())
-            b_ = np.asarray(Kd[row_slice(gy - 1), row_slice(gy)].todense())
-            if dense_mode:
-                return a, b_
-            return a.diagonal().copy(), b_.diagonal().copy()
-
-        for jb in range(nbk):
-            A = Dinv[jb, s]                # preset identity; fill in place
-            for q in range(r):
-                gy = jb * r + q
-                if gy >= wy:
-                    break
-                o = q * wx_max
-                A[o: o + wx, o: o + wx] = \
-                    np.asarray(Kd[row_slice(gy), row_slice(gy)].todense())
-                if q > 0 and gy > 0:
-                    om = (q - 1) * wx_max
-                    clq, cuq = coupling(gy)
-                    if dense_mode:
-                        A[o: o + wx, om: om + wx] = clq
-                        A[om: om + wx, o: o + wx] = cuq
-                    else:
-                        A[o + np.arange(wx), om + np.arange(wx)] = clq
-                        A[om + np.arange(wx), o + np.arange(wx)] = cuq
-            gy0 = jb * r
-            if jb > 0 and gy0 < wy:
-                clj, cuj = coupling(gy0)
-                if dense_mode:
-                    cl[jb, s, :wx, :wx] = clj
-                    cu[jb, s, :wx, :wx] = cuj
-                else:
-                    cl[jb, s, :wx] = clj
-                    cu[jb, s, :wx] = cuj
-        eff = np.arange(n) if slots is None else slots
-        canvas = (eff // wx) * wx_max + (eff % wx)
-        idx_fwd[s, canvas] = np.arange(len(eff))
-        msk_fwd[s, canvas, 0] = 1.0
-        idx_inv[s, : len(eff)] = canvas
-        msk_inv[s, : len(eff), 0] = 1.0
-
-    # Schur recursion with the inversions *batched over subdomains*
-    # (threaded LAPACK: ~4x faster setup than per-subdomain loops);
-    # cl/cu are zero beyond each subdomain's true wx, so the batched
-    # corner correction is a no-op on padded lanes
-    lo = L - wx_max
-    prev = np.linalg.inv(Dinv[0])
-    Dinv[0] = prev
-    for jb in range(1, nbk):
-        corner = prev[:, lo:, lo:]
-        if dense_mode:
-            Dinv[jb, :, :wx_max, :wx_max] -= cl[jb] @ corner @ cu[jb]
-        else:
-            Dinv[jb, :, :wx_max, :wx_max] -= \
-                cl[jb][:, :, None] * corner * cu[jb][:, None, :]
-        prev = np.linalg.inv(Dinv[jb])
-        Dinv[jb] = prev
+    (Dinv, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
+     nbk, L, wx_max) = _extract_blocks(mats, boxes, n_max, slot_maps, r)
+    Dinv = _schur_host(Dinv, cl, cu, dense_mode, wx_max)
 
     # convert with numpy first: jnp.asarray's dtype-converting path is
     # an order of magnitude slower than astype + same-dtype ingestion
@@ -323,7 +398,6 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         # build and half the size of the host-f64 intermediates.
         # Write-then-rename so a concurrent process never reads a
         # partially written npz (the suite runs drivers in subprocesses).
-        import os
         tmp_path = f"{cache_path}.tmp{os.getpid()}"
         try:
             np.savez(tmp_path, Dinv=Dinv_d, cl=cl_d, cu=cu_d,

@@ -411,9 +411,16 @@ def apply(state: SchwarzState, x: jax.Array,
           axis_name: Optional[str] = None) -> jax.Array:
     """Full preconditioner apply (HPDDM_schwarz.hpp:527-612).
 
-    Two-level branches mirror the reference exactly: the smoother inside a
-    coarse correction always ends with the *scaled* exchange (the OS/SORAS
-    variant additionally pre-scales by D before the local solve)."""
+    Two-level branches mirror the reference: the smoother inside a
+    deflated/balanced correction always ends with the *scaled* exchange
+    (the OS/SORAS variant additionally pre-scales by D before the local
+    solve). One deliberate deviation: for the *additive* correction with
+    an asm/osm variant the smoother term uses the unscaled exchange
+    (sum_s R_s^T A_s^-1 R_s), so M^-1 = sum R^T A_s^-1 R + D Z E^-1 Z^T D
+    is genuinely symmetric — the combination the reference documents for
+    SPD problems (and which CG needs; the reference instead keeps the
+    D-scaled exchange even for ASM and relies on the CG->GMRES fallback,
+    HPDDM_CG.hpp:40-42). RAS/SORAS keep the reference's scaled exchange."""
     if state.coarse is None:
         return one_level_apply(state, x, axis_name)
     dec = state.dec
@@ -421,6 +428,8 @@ def apply(state: SchwarzState, x: jax.Array,
     if corr == "additive":
         out = deflation(state, x, axis_name)
         work = state.solver.solve(x)
+        if state.variant in ("asm", "osm"):
+            return out + exchange(dec, work, axis_name)
         return out + scaled_exchange(dec, work, axis_name)
     # deflated / balanced (HPDDM_schwarz.hpp:572-608)
     out = deflation(state, x, axis_name)                     # Z E^-1 Z^T D x

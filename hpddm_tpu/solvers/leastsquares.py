@@ -74,6 +74,17 @@ def _spsd_splitting(A: sp.csr_matrix, gids) -> list:
     pattern.data = np.ones_like(pattern.data)
     counts = np.asarray(pattern @ member.T)            # (m, S)
     contained = counts == np.diff(A.indptr)[:, None]
+    n_dropped = int((~contained.any(axis=1)).sum())
+    if n_dropped:
+        # a row contained in no subdomain's column set falls out of every
+        # Neumann matrix and the exact identity sum_s R^T Ntilde_s R == N
+        # breaks silently — degrade loudly (can happen with overlap=0 or
+        # non-canonical CSR duplicates)
+        import warnings
+        warnings.warn(
+            f"SPSD splitting dropped {n_dropped} row(s) of A contained in "
+            "no subdomain; the GenEO pencil no longer sums exactly to A^T A"
+            " — increase the overlap", stacklevel=2)
     mult = np.maximum(contained.sum(axis=1), 1)
     w = np.sqrt(1.0 / mult)
     out = []

@@ -248,3 +248,61 @@ def test_factor_cache_round_trip(tmp_path, monkeypatch):
     mats2 = [MatrixCSR(sp.csr_matrix(m0))] + list(gen2.mats[1:])
     build_banded_solver(mats2, gen2.boxes, n_max, dtype=jnp.float64)
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_device_factor_matches_host_f64():
+    """method="device" (jitted lax.scan Schur recursion) must reproduce
+    the host-f64 factors exactly when run in f64 (same algorithm, newton
+    polish is a no-op at the f64 fixed point)."""
+    gen = _hetero_gen(Nx=48, Ny=48)
+    n_max = max(m.n for m in gen.mats)
+    sh = build_banded_solver(gen.mats, gen.boxes, n_max, dtype=jnp.float64,
+                             method="host")
+    sd = build_banded_solver(gen.mats, gen.boxes, n_max, dtype=jnp.float64,
+                             method="device")
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(len(gen.mats), n_max, 2)))
+    xh = np.asarray(sh.solve(b))
+    xd = np.asarray(sd.solve(b))
+    np.testing.assert_allclose(xd, xh, rtol=1e-12, atol=1e-12)
+
+
+def test_device_factor_f32_accuracy():
+    """f32 device factorization (the TPU path): the factors must solve the
+    local systems to ~f32 accuracy — per-step f32 errors must not compound
+    through the recursion (heterogeneous contrast, Jacobi-scaled-like)."""
+    gen = _hetero_gen(Nx=64, Ny=64, contrast=1e3)
+    n_max = max(m.n for m in gen.mats)
+    sd = build_banded_solver(gen.mats, gen.boxes, n_max, dtype=jnp.float32,
+                             method="device")
+    rng = np.random.default_rng(1)
+    b = np.zeros((len(gen.mats), n_max, 1), dtype=np.float32)
+    for s in range(len(gen.mats)):
+        b[s, : gen.n_loc[s], 0] = rng.normal(size=gen.n_loc[s])
+    x = np.asarray(sd.solve(jnp.asarray(b))).astype(np.float64)
+    for s in range(len(gen.mats)):
+        K = gen.mats[s].scipy(expand=True)
+        xs = x[s, : gen.n_loc[s], 0]
+        bs = b[s, : gen.n_loc[s], 0].astype(np.float64)
+        rel = np.linalg.norm(K @ xs - bs) / np.linalg.norm(bs)
+        assert rel < 5e-4, (s, rel)
+
+
+def test_device_factor_dense_coupling():
+    """Dense coupling blocks (9-point-like) through the device recursion."""
+    n = 16
+    A = sp.diags([np.ones(n - 3), -np.ones(n - 1), 8 * np.ones(n),
+                  -np.ones(n - 1), np.ones(n - 3)],
+                 [-3, -1, 0, 1, 3]).tocsr()
+
+    class M:
+        def scipy(self, expand=True):
+            return A
+    solver = build_banded_solver([M()], [(0, 4, 0, 4)], 16,
+                                 dtype=jnp.float64, method="device")
+    assert solver.cl.ndim == 4
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(1, 16, 1))
+    x = np.asarray(solver.solve(jnp.asarray(b)))[0, :, 0]
+    ref = sp.linalg.spsolve(A.tocsc(), b[0, :, 0])
+    np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-12)

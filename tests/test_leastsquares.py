@@ -75,3 +75,28 @@ def test_rectangular_shapes_rejected_gracefully():
     ls = LeastSquaresSolver(A, n_subdomains=2, overlap=1, options=Options())
     with pytest.raises((ValueError, IndexError)):
         ls.solve(b[:-3])  # wrong length must not silently truncate
+
+
+def test_coerced_preconditioner_is_symmetric():
+    """ADVICE r3: the coerced asm+additive two-level preconditioner must be
+    *actually* symmetric in global numbering (the additive smoother now
+    respects the asm variant: sum R^T A_s^-1 R + Z E^-1 Z^T D), so the
+    fixed CG outer keeps its convergence guarantee."""
+    A, _ = _gradient_problem(nx=16, ny=16, delta=1.0e-2)
+    opt = Options(schwarz_coarse_correction="deflated", geneo_nu=4)
+    ls = LeastSquaresSolver(A, n_subdomains=4, overlap=2, options=opt)
+    assert ls.opt.val("schwarz_method") == "asm"
+    assert ls.opt.val("schwarz_coarse_correction") == "additive"
+    n = A.shape[1]
+    rng = np.random.default_rng(3)
+    # random probes: u^T M v == v^T M u to ~roundoff
+    rels = []
+    for _ in range(4):
+        u = rng.normal(size=n)
+        v = rng.normal(size=n)
+        mu_ = ls._m_inv(v)
+        mv_ = ls._m_inv(u)
+        num = abs(u @ mu_ - v @ mv_)
+        den = abs(u @ mu_) + abs(v @ mv_)
+        rels.append(num / den)
+    assert max(rels) < 1e-10, rels

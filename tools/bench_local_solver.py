@@ -67,7 +67,9 @@ def bench_solver(name, gen, S, Nx, Ny, mu_max, dtype):
 
         L1, L2 = 4, 20
         c1, c2 = chain(L1), chain(L2)
-        y = c2(c1(x))                                  # compile + warm-up
+        y = x
+        for _ in range(max(WARM_UP, 1)):               # compile + warm-up
+            y = c2(c1(y))
         jax.block_until_ready(y)
         w1 = w2 = float("inf")
         for _ in range(TRIALS):
@@ -89,9 +91,12 @@ def main():
     args = [a for a in sys.argv[1:]]
     nums = [int(a) for a in args if a.isdigit()]
     solvers = [a for a in args if not a.isdigit()]
-    S, Nx, Ny = (nums + [16, 512, 512])[:3] if len(nums) >= 3 else \
-        (16, 512, 512)
-    mu_max = nums[3] if len(nums) >= 4 else 4
+    # positional numeric args override the defaults prefix-wise:
+    # [S [Nx [Ny [mu_max]]]]
+    defaults = [16, 512, 512, 4]
+    if len(nums) > len(defaults):
+        sys.exit(f"usage: {sys.argv[0]} [S [Nx [Ny [mu_max]]]] [solvers...]")
+    S, Nx, Ny, mu_max = nums + defaults[len(nums):]
     import jax
     from hpddm_tpu.models import diffusion2d
     dtype = np.float32 if jax.default_backend() != "cpu" else np.float64
