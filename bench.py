@@ -110,6 +110,32 @@ def main():
     nnz = sum(m.nnz for m in gen2.mats)
     nnz_per_s = nnz / spmv_time
 
+    # argument-passed GMV (VERDICT r3 #2): the state enters the jitted
+    # chain as an argument — the layout every at-scale solve actually
+    # runs (closure-captured states embed as HLO literals and are barred
+    # at flagship sizes; PERF.md 2026-08-19). r3: 213.5 us at 2048^2/16.
+    def gmv_chain_arg(length):
+        @jax.jit
+        def chain(st, v):
+            out, _ = lax.scan(lambda c, _: (gmv(st, c), None), v, None,
+                              length=length)
+            return out
+        return chain
+    a1, a2 = gmv_chain_arg(L1), gmv_chain_arg(L2)
+    y = a2(state2, a1(state2, x))
+    jax.block_until_ready(y)
+    w1 = w2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = a1(state2, y)
+        jax.block_until_ready(y)
+        w1 = min(w1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        y = a2(state2, y)
+        jax.block_until_ready(y)
+        w2 = min(w2, time.perf_counter() - t0)
+    gmv_arg_us = max((w2 - w1) / (L2 - L1), 1e-9) * 1e6
+
     # --- flagship twin: heterogeneous two-level solve (VERDICT r2 #9) ----
     # 512^2/16 contrast-1e4 channel, Jacobi-scaled, banded exact local
     # solves, Lanczos-GenEO — a deterministic scaled-down twin of the
@@ -152,16 +178,77 @@ def main():
         r3 = sj3(st3, f3)
         jax.block_until_ready(r3.x)
         t3 = time.perf_counter() - t0
-        flagship = ", flagship512=%.3fs/%dits(setup=%.0fs)" % (
-            t3, int(r3.iterations), setup3)
+        # true residual attained (VERDICT r3 #10): host-f64 refinement
+        # around the f32 device solve — report the *f64 true relres*,
+        # not just preconditioned-tol convergence
+        from hpddm_tpu.solvers.refine import solve_refined
+        opt_ir = Options(tol=1e-3, local_solver="banded",
+                         schwarz_coarse_correction="deflated", geneo_nu=8)
+        irj = jax.jit(lambda st, b: solve(st, b, opt=opt_ir))
+        t0 = time.perf_counter()
+        _, info = solve_refined(lambda b: irj(st3, jnp.asarray(b)),
+                                mats3, np.asarray(f3), st3.dec,
+                                tol=1e-10, max_refine=6)
+        t_ir = time.perf_counter() - t0
+        flagship = (", flagship512=%.3fs/%dits(setup=%.0fs,"
+                    "true_relres=%.1e,refine=%.1fs)") % (
+            t3, int(r3.iterations), setup3,
+            float(info["history"][-1]), t_ir)
     except Exception as e:                        # noqa: BLE001
         flagship = ", flagship512=failed(%s)" % type(e).__name__
+
+    # --- S-ladder point: 2048^2 at S=256 (VERDICT r3 #2) ------------------
+    # dst_cheby locals (no factor memory), Lanczos-GenEO, bsr+direct
+    # coarse — the bench_sladder.py S=256 row (r3: 9.1 s / 78 its).
+    # Budget-gated like the flagship twin.
+    ladder = ""
+    try:
+        if time.perf_counter() - _t_start > 260:
+            raise TimeoutError("budget")
+        from hpddm_tpu.core.scaling import jacobi_scale as _js
+
+        def kap2(xx, yy):
+            return (np.where((yy > 3.3) & (yy < 6.6), 1.0e4, 1.0)
+                    * np.where(xx > 5.0, 10.0, 1.0))
+
+        S4, N4 = 256, 2048
+        gen4 = diffusion2d.generate_uniform(S4, N4, N4, overlap=1,
+                                            kappa=kap2, with_neumann=True,
+                                            dtype=dtype)
+        mats4, f4_list, neu4, _ = _js(gen4.mats, gen4.f, gen4.neumann)
+        opt4 = Options(tol=2e-3, local_solver="dst_cheby",
+                       local_cheby_steps=32, gmres_restart=40,
+                       schwarz_coarse_correction="deflated", geneo_nu=8)
+        sch4 = Schwarz(mats4, gen4.neighbors, gen4.mappings, d=gen4.d,
+                       options=opt4)
+        sch4.set_grid_geometry(gen4.boxes, N4, N4)
+        t0 = time.perf_counter()
+        sch4.solve_gevp(neu4, method="lanczos")
+        st4 = sch4.build()
+        setup4 = time.perf_counter() - t0
+        f4 = np.zeros((S4, sch4.n_max, 1), dtype=dtype)
+        for s in range(S4):
+            f4[s, : gen4.n_loc[s]] = f4_list[s]
+        f4 = jnp.asarray(f4)
+        sj4 = jax.jit(lambda st, b: solve(st, b, opt=opt4))
+        r4 = sj4(st4, f4)
+        jax.block_until_ready(r4.x)
+        t0 = time.perf_counter()
+        r4 = sj4(st4, f4)
+        jax.block_until_ready(r4.x)
+        t4 = time.perf_counter() - t0
+        ladder = ", ladder256=%.2fs/%dits(setup=%.0fs)" % (
+            t4, int(r4.iterations), setup4)
+    except Exception as e:                        # noqa: BLE001
+        ladder = ", ladder256=failed(%s)" % type(e).__name__
 
     print(json.dumps({
         "metric": "2d_diffusion_geneo_ras_gmres",
         "value": round(solve_time, 6),
-        "unit": "s_to_tol(%s, its=%d, 1call=%.3fs, spmv_nnz_per_s=%.3e%s)"
-                % (tol, its, solve_1call, nnz_per_s, flagship),
+        "unit": "s_to_tol(%s, its=%d, 1call=%.3fs, spmv_nnz_per_s=%.3e, "
+                "gmv_arg_us=%.1f%s%s)"
+                % (tol, its, solve_1call, nnz_per_s, gmv_arg_us,
+                   flagship, ladder),
         "vs_baseline": round(45.0 / max(its, 1), 3),
     }))
 

@@ -178,7 +178,8 @@ def _sharded_neighbor_take(plan: "GridPlan", axis_name: str, S_loc: int):
     each resolved with two ppermutes (no all_gather: per-device comm is
     O(local perimeter)). Values are bitwise those of the gathered-slab
     formulation, keeping batched == sharded exact."""
-    p = lax.axis_index(axis_name)
+    from hpddm_tpu.parallel.ops import axis_index_of
+    p = axis_index_of(axis_name)
     g = p * S_loc + jnp.arange(S_loc)
     iy, ix = g // plan.gx, g % plan.gx
 

@@ -31,6 +31,24 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "sub") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(shape, axes=("host", "sub")) -> Mesh:
+    """Hierarchical 2-D mesh: ``shape = (n_hosts, subs_per_host)``.
+
+    The subdomain batch axis is sharded over the *product* of both axes
+    (host-major, matching ``P(axes)``); pass ``axis_name=axes`` (the
+    tuple) to every runtime function / sharded_solve.  Collectives then
+    reduce over the product; neighbor ppermute halos ride the fast inner
+    axis with carry hops on the outer one (parallel/ops._ppermute_shift)
+    — the TPU analogue of the reference's intra-/inter-node comm split
+    (HPDDM_coarse_operator_impl.hpp:31-134 topology-aware gathers)."""
+    nh, ns = shape
+    devs = jax.devices()
+    if nh * ns > len(devs):
+        raise ValueError(f"mesh {shape} needs {nh * ns} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[: nh * ns]).reshape(nh, ns), tuple(axes))
+
+
 def _is_subdomain_leaf(path_leaf, S: int) -> bool:
     x = path_leaf
     return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == S

@@ -44,10 +44,38 @@ from hpddm_tpu.parallel.decomposition import Decomposition
 
 
 def psum_if(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
-    """psum over the subdomain mesh axis if sharded, identity otherwise."""
+    """psum over the subdomain mesh axis if sharded, identity otherwise.
+
+    ``axis_name`` may be a tuple of mesh axes (e.g. ``("host", "sub")``
+    for a hierarchical 2-D mesh): psum/all_gather/pmax reduce over the
+    product natively, in host-major order — matching the
+    ``P(("host", "sub"))`` sharding linearization."""
     if axis_name is None:
         return x
     return lax.psum(x, axis_name)
+
+
+def axis_size_of(axis_name) -> int:
+    """Total device count over one mesh axis or a tuple of axes."""
+    if isinstance(axis_name, (tuple, list)):
+        out = 1
+        for a in axis_name:
+            out *= lax.axis_size(a)
+        return out
+    return lax.axis_size(axis_name)
+
+
+def axis_index_of(axis_name):
+    """Row-major linearized device index over one axis or a tuple.
+
+    Matches the ordering of ``P(axis_name)`` shardings and of
+    ``all_gather(..., axis_name, tiled=True)``."""
+    if isinstance(axis_name, (tuple, list)):
+        idx = 0
+        for a in axis_name:
+            idx = idx * lax.axis_size(a) + lax.axis_index(a)
+        return idx
+    return lax.axis_index(axis_name)
 
 
 def device_shifts(sub_shifts, S_loc: int):
@@ -64,11 +92,35 @@ def device_shifts(sub_shifts, S_loc: int):
     return tuple(sorted(out))
 
 
-def _ppermute_shift(x: jax.Array, d: int, axis_name: str) -> jax.Array:
+def _ppermute_shift(x: jax.Array, d: int, axis_name) -> jax.Array:
     """Receive device (p + d)'s copy of x (wraps at the mesh edge; callers
-    must never index wrapped rows — partner/validity masks guarantee it)."""
+    must never index wrapped rows — partner/validity masks guarantee it).
+
+    On a hierarchical mesh (tuple ``axis_name``, e.g. ``("host", "sub")``)
+    the shift is over the *linearized* index p = h * Ps + s: one ppermute
+    along the fast inner axis plus carry resolution along the outer
+    axis/axes — the inner hop rides ICI while only boundary shards
+    genuinely need the outer (DCN-tier) hop.  For any d the carry takes
+    exactly two consecutive values (s + d mod Ps spans < 2 Ps), so two
+    outer shifts and one per-shard select suffice."""
     if d == 0:
         return x
+    if isinstance(axis_name, (tuple, list)):
+        if len(axis_name) == 1:
+            return _ppermute_shift(x, d, axis_name[0])
+        outer, inner = axis_name[:-1], axis_name[-1]
+        if len(outer) == 1:
+            outer = outer[0]
+        Pi = lax.axis_size(inner)
+        di = d % Pi                                # inner shift in [0, Pi)
+        q = (d - di) // Pi                         # outer base shift
+        x_in = _ppermute_shift(x, di, inner)
+        x_q = _ppermute_shift(x_in, q, outer)
+        if di == 0:
+            return x_q
+        x_q1 = _ppermute_shift(x_in, q + 1, outer)
+        carry = lax.axis_index(inner) + di >= Pi   # per-shard scalar
+        return jnp.where(carry, x_q1, x_q)
     P = lax.axis_size(axis_name)
     perm = [((i + d) % P, i) for i in range(P)]
     return lax.ppermute(x, axis_name, perm)
@@ -120,7 +172,7 @@ def _interface_reduce(dec: Decomposition, vals: jax.Array,
     g = dec.partners                                    # (S_loc, m_max, k)
     qdev = g // block
     off = g - qdev * block
-    dshift = qdev - lax.axis_index(axis_name)
+    dshift = qdev - axis_index_of(axis_name)
     pos = jnp.zeros_like(g)
     for j, d in enumerate(D):
         pos = jnp.where(dshift == d, j, pos)

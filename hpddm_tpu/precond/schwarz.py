@@ -211,7 +211,8 @@ def deflation(state: SchwarzState, x: jax.Array,
     if axis_name is None:
         y_loc = y
     else:
-        idx = jax.lax.axis_index(axis_name)
+        from hpddm_tpu.parallel.ops import axis_index_of
+        idx = axis_index_of(axis_name)
         y_loc = jax.lax.dynamic_slice_in_dim(y, idx * S_loc, S_loc, axis=0)
     out = jnp.einsum("sna,sam->snm", co.Z, y_loc)            # Z y
     return scaled_exchange(dec, out, axis_name)
@@ -371,7 +372,8 @@ def _coarse_solve_bsr(co: CoarseState, c: jax.Array,
             w = jnp.einsum("saq,qm->sam",
                            co.agg_oh.astype(w3.dtype), w3)   # (S, nu, mu)
             if axis_name is not None:
-                idx = jax.lax.axis_index(axis_name)
+                from hpddm_tpu.parallel.ops import axis_index_of
+                idx = axis_index_of(axis_name)
                 w = jax.lax.dynamic_slice_in_dim(w, idx * S_loc, S_loc, 0)
             z = z + w * act
         return z
@@ -875,9 +877,18 @@ class Schwarz:
                 for m in self._permuted(neumann)]
             lboxes = [(0, i1 - i0, 0, j1 - j0)
                       for (i0, i1, j0, j1) in self._banded_boxes()]
+            # method="host": the regularized Neumann pencil is *nearly
+            # singular* (eps_reg ~ 1e-8 x diag), so the trailing Schur
+            # blocks cancel catastrophically in f32 — a device-f32
+            # recursion perturbs exactly the near-null eigenvalues GenEO
+            # must resolve (measured: 57 vs 23 outer its at the 1024^2
+            # flagship). The f64 host recursion keeps them; the *smoother*
+            # factors (Dirichlet matrices, moderate cond) stay on the
+            # device path.
             Knb = build_banded_solver(
                 regs, lboxes, self.n_max, dtype=dec.d.dtype,
-                rows_per_block=int(opt.val("banded_block_rows")))
+                rows_per_block=int(opt.val("banded_block_rows")),
+                method="host")
             _mark("banded neumann factor (build/cache)")
             if _tprof:
                 jax.block_until_ready(Knb.Dinv)

@@ -446,8 +446,15 @@ class Substructure:
             def scipy(self, expand=True):
                 return self._A
 
+        # method="host": K_regs are eps-regularized *floating* Neumann
+        # matrices (near-singular); the device-f32 Schur recursion would
+        # cancel catastrophically on the trailing blocks and perturb the
+        # near-null modes K^+ must resolve (see precond/schwarz.py GEVP
+        # banded path). The well-conditioned interior K_ii factor below
+        # stays on the default (device) path.
         Kb = build_banded_solver([_W(K) for K in K_regs], local_boxes,
-                                 n_max, dtype=dtype, slot_maps=slot_maps)
+                                 n_max, dtype=dtype, slot_maps=slot_maps,
+                                 method="host")
 
         # interior sub-rectangles -> banded factor of K_ii (holes
         # embedded via slot maps, like the full-box factor)

@@ -170,9 +170,13 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
     S, n, mu = b.shape
     dtype = b.dtype
     rdtype = underlying(dtype)
-    # p block steps per cycle so the space size matches restart ~ p*mu + k
+    # Reference sizing (HPDDM_GCRODR.hpp:517,603,694): restart m0 and
+    # recycle k are counted in BLOCK iterations — each cycle runs
+    # m0 - k block Arnoldi steps (m0 on the first, recycle-less cycle)
+    # and the recycle space holds deflated*k columns (bK), where
+    # "deflated" is the post-RRQR block width.
     k = int(recycle)
-    p = max((int(restart) - k) // mu, 1)
+    m0 = max(int(restart), k + 1)
 
     from hpddm_tpu.solvers.block import _block_dot, _chol_qr
 
@@ -195,7 +199,7 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
             # pseudo-block gcrodr stores per-RHS (S, n, k, mu) slabs; each
             # C[..., nu] is orthonormal, so slab 0 is a valid seed here
             U, C = U[..., 0], C[..., 0]
-        if U.shape[-1] != k:
+        if not (1 <= U.shape[-1] <= k * mu):
             U = C = None
     if U is not None:
         if not same_system:
@@ -219,6 +223,9 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
         else:
             Q0, R0 = _chol_qr(op, r)
             bw = mu
+        # block steps this cycle: m0 - k with a recycle space, m0 without
+        # (reference inner loop: i = (U ? k : 0); while (i < m[0]) ...)
+        p = max(m0 - (k if U is not None else 0), 1)
         V = [Q0]                                      # block basis
         Z = []                                        # preconditioned blocks
         Hb = np.zeros((p + 1, p, bw, bw))             # block Hessenberg
@@ -294,7 +301,9 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                 except np.linalg.LinAlgError:
                     pass
                 w_e, vr = np.linalg.eig(Hsq + corr)
-                idx = _select_ritz(w_e, min(k, pd), target)
+                # recycle bK = bw*k columns (k block slots of the deflated
+                # width, HPDDM_GCRODR.hpp:696 "int bK = deflated * k")
+                idx = _select_ritz(w_e, min(k * bw, pd), target)
                 P, _ = np.linalg.qr(np.real(vr[:, idx]))
                 U_new = _lincomb_mat(Vp, jnp.asarray(P, dtype=dtype))
                 Qs, Rs = np.linalg.qr(Hflat @ P)      # C = V_{p+1} Q
@@ -319,7 +328,7 @@ def bgcrodr_fused(op: LinearOperator, b: jax.Array,
                     QhW[:kc, :kc] = CU
                     QhW[kc:, :kc] = VU
                     QhW[kc: kc + pd, kc:] = np.eye(pd)
-                P = _harmonic_ritz_general(G, QhW, min(k, d), target)
+                P = _harmonic_ritz_general(G, QhW, min(k * bw, d), target)
                 U_new = (_lincomb_mat(U, jnp.asarray(P[:kc], dtype=dtype))
                          + _lincomb_mat(Vp, jnp.asarray(P[kc:], dtype=dtype)))
                 GPq, GPr = np.linalg.qr(G @ P)

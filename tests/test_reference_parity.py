@@ -136,12 +136,139 @@ def test_bgmres_mu2_deflated(binary, sequence):
 
 
 def test_bgcrodr_mu2_deflated(binary, sequence):
-    # rank-1 duplicated block + recycling: the config that exposed the
-    # round-3 bgcrodr_fused deflation bug (diverged at 2.6e+05 before)
-    _compare(binary, sequence, "bgcrodr-mu2",
-             BASE_REF + ["-hpddm_krylov_method", "bgcrodr",
-                         "-hpddm_recycle", "20", "-mu", "2",
-                         "-hpddm_deflation_tol", "1e-6"],
-             {"krylov_method": "bgcrodr", "recycle": 20,
-              "deflation_tol": 1e-6}, mu=2,
-             window=max(10, 40))
+    """Rank-1 duplicated block + recycling (the config that exposed the
+    round-3 bgcrodr_fused deflation bug, diverged at 2.6e+05 before).
+
+    The -hpddm_deflation_tol RRQR collapses the duplicated mu=2 block to
+    width 1, so the mathematically correct behavior is the reference's
+    *scalar* GCRODR(restart, recycle) — asserted at window=10 (round-4
+    block-unit sizing fix: restart/recycle counted in block iterations,
+    HPDDM_GCRODR.hpp:517,603,694; measured 962 == 962 exact when written).
+    The reference's own BGCRODR binary is *unhealthy* on this sequence —
+    it saturates -hpddm_max_it on system 2 (total 1160 incl. a 1000-it
+    blowup; diverges outright at restart 60 or without deflation_tol) —
+    so it only gates as a not-worse bound, not a twin."""
+    systems, data = sequence
+    tot_scalar, res_scalar, out = rp.run_reference(
+        binary, data, BASE_REF + ["-hpddm_krylov_method", "gcrodr",
+                                  "-hpddm_recycle", "20"])
+    assert tot_scalar > 0, out
+    assert res_scalar < 1e-7
+    tot_block, res_block, _ = rp.run_reference(
+        binary, data, BASE_REF + ["-hpddm_krylov_method", "bgcrodr",
+                                  "-hpddm_recycle", "20", "-mu", "2",
+                                  "-hpddm_deflation_tol", "1e-6"])
+    opts = dict(BASE_OURS)
+    opts.update({"krylov_method": "bgcrodr", "recycle": 20,
+                 "deflation_tol": 1e-6})
+    tot_us, res_us = rp.run_ours(systems, opts, mu=2)
+    assert res_us < 1e-7, res_us
+    assert abs(tot_us - tot_scalar) <= 10, (tot_us, tot_scalar)
+    if res_block < 1e-7:                       # reference block run sane
+        assert tot_us <= tot_block + 10, (tot_us, tot_block)
+
+
+# ---------------------------------------------------------------------------
+# np=1 Schwarz-binary truths (round 4, VERDICT r3 #6): the reference's
+# examples/schwarz.cpp + generate.cpp built against the single-process MPI
+# stub (tools/mpi_stub). With -hpddm_schwarz_method none the binary runs
+# Jacobi-preconditioned Krylov on the full assembled generator matrix
+# (schwarz.cpp:161), so these windows cross-check the bit-faithful matrix
+# assembly (models/diffusion2d) and the mtx file parsing (core/csr) through
+# the whole Krylov layer at reference-scale iteration counts.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def schwarz_binary():
+    b = rp.build_reference_schwarz()
+    if b is None:
+        pytest.skip("reference tree/toolchain unavailable")
+    return b
+
+
+@pytest.fixture(scope="module")
+def fromfile_binary():
+    b = rp.build_reference_schwarz(fromfile=True)
+    if b is None:
+        pytest.skip("reference tree/toolchain unavailable")
+    return b
+
+
+@pytest.fixture(scope="module")
+def generator_100():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from hpddm_tpu.models import diffusion2d
+    gen = diffusion2d.generate(1, 100, 100, overlap=1)
+    return gen.mats[0].scipy(expand=True), np.asarray(gen.f[0]).ravel()
+
+
+@pytest.fixture(scope="module")
+def mini_mtx():
+    from hpddm_tpu.core.csr import MatrixCSR
+    data = os.path.join(rp.BUILD_DIR, "data")
+    M = MatrixCSR.from_file(os.path.join(data, "mini.mtx"))
+    return M.scipy(expand=True), np.ones(M.n)
+
+
+def _np1(binary, ref_args, A, f, our_opts, window=10):
+    its_ref, rel_ref, out = rp.run_reference_schwarz(binary, ref_args)
+    assert its_ref > 0, out
+    assert rel_ref <= 1.05e-6, rel_ref
+    its_us, rel_us = rp.run_ours_jacobi(A, f, our_opts)
+    assert rel_us <= 1.05e-6, rel_us
+    assert abs(its_us - its_ref) <= window, (its_us, its_ref)
+
+
+NP1 = ["-hpddm_schwarz_method", "none", "-Nx", "100", "-Ny", "100",
+       "-hpddm_verbosity", "1", "-hpddm_max_it", "3000"]
+NP1_OURS = {"tol": 1e-6, "max_it": 3000, "gmres_restart": 40}
+
+
+def test_np1_generator_jacobi_gmres(schwarz_binary, generator_100):
+    A, f = generator_100
+    _np1(schwarz_binary, NP1, A, f,
+         dict(NP1_OURS, krylov_method="gmres"))
+
+
+def test_np1_generator_jacobi_cg(schwarz_binary, generator_100):
+    A, f = generator_100
+    _np1(schwarz_binary, NP1 + ["-hpddm_krylov_method", "cg",
+                                "-symmetric_csr"], A, f,
+         dict(NP1_OURS, krylov_method="cg"))
+
+
+def test_np1_generator_jacobi_gcrodr(schwarz_binary, generator_100):
+    A, f = generator_100
+    _np1(schwarz_binary, NP1 + ["-hpddm_krylov_method", "gcrodr",
+                                "-hpddm_recycle", "20"], A, f,
+         dict(NP1_OURS, krylov_method="gcrodr", recycle=20))
+
+
+MINI = ["-matrix_filename=data/mini.mtx", "-rhs_filename=data/ones.txt",
+        "-hpddm_schwarz_method", "none", "-hpddm_verbosity", "1",
+        "-hpddm_max_it", "2000", "-hpddm_tol", "1e-8"]
+MINI_OURS = {"tol": 1e-8, "max_it": 2000, "gmres_restart": 40}
+
+
+def test_np1_mini_mtx_jacobi_gmres(fromfile_binary, mini_mtx):
+    A, f = mini_mtx
+    its_ref, rel_ref, out = rp.run_reference_schwarz(fromfile_binary, MINI)
+    assert its_ref > 0, out
+    assert rel_ref <= 1.05e-8
+    its_us, rel_us = rp.run_ours_jacobi(
+        A, f, dict(MINI_OURS, krylov_method="gmres"))
+    assert rel_us <= 1.05e-8
+    assert abs(its_us - its_ref) <= 10, (its_us, its_ref)
+
+
+def test_np1_mini_mtx_jacobi_cg(fromfile_binary, mini_mtx):
+    A, f = mini_mtx
+    its_ref, rel_ref, out = rp.run_reference_schwarz(
+        fromfile_binary, MINI + ["-hpddm_krylov_method", "cg"])
+    assert its_ref > 0, out
+    assert rel_ref <= 1.05e-8
+    its_us, rel_us = rp.run_ours_jacobi(
+        A, f, dict(MINI_OURS, krylov_method="cg"))
+    assert rel_us <= 1.05e-8
+    assert abs(its_us - its_ref) <= 10, (its_us, its_ref)

@@ -126,3 +126,95 @@ def test_sharded_banded_local_solver():
     assert int(res_sh.iterations) == int(res_ref.iterations)
     np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
                                atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical 2-D ("host", "sub") mesh (round 4, VERDICT r3 #5): the same
+# solves over a 2x4 and a 4x2 mesh must be bitwise those of the batched
+# run — inner-axis ppermute halos with outer-axis carry hops
+# (parallel/ops._ppermute_shift), coarse/dot collectives spanning both axes.
+# ---------------------------------------------------------------------------
+
+AX2 = ("host", "sub")
+
+
+def _mesh2(shape):
+    from hpddm_tpu.parallel.mesh import make_mesh2d
+    return make_mesh2d(shape, AX2)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_mesh2d_matches_batched(shape):
+    S = 8
+    gen, sch, f = _setup(S)
+    state = sch.build()
+    res_ref = solve(state, f, opt=sch.opt)
+
+    mesh = _mesh2(shape)
+    state_sh = shard_state(state, mesh, axis=AX2)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(AX2, None, None)))
+    res_sh = sharded_solve(state_sh, f_sh, sch.opt, mesh, axis=AX2)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
+                               atol=1e-10)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_mesh2d_two_level_grid_banded(shape):
+    """Two-level GenEO + banded locals + the *grid* (slab-halo) exchange
+    over the 2-D mesh: exercises _global_row_shift's carry resolution
+    (ppermute across the host axis) and the tuple-axis coarse psum."""
+    S, Nx = 8, 48
+    gen = diffusion2d.generate_uniform(S, Nx, Nx, overlap=1,
+                                       with_neumann=True)
+    opt = Options(tol=1e-8, max_it=200, local_solver="banded",
+                  schwarz_coarse_correction="deflated", geneo_nu=4)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.set_grid_geometry(gen.boxes, Nx, Nx)
+    f = np.zeros((S, sch.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = gen.f[s]
+    f = sch.exchange_rhs(jnp.asarray(f))
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    res_ref = solve(state, f, opt=opt)
+
+    mesh = _mesh2(shape)
+    state_sh = shard_state(state, mesh, axis=AX2)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(AX2, None, None)))
+    res_sh = sharded_solve(state_sh, f_sh, opt, mesh, axis=AX2)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
+                               atol=1e-10)
+
+
+def test_mesh2d_substructure_bdd():
+    """BDD under the 2-D mesh matches the batched solve."""
+    from hpddm_tpu.models import nonoverlap
+    from hpddm_tpu.parallel.mesh import (shard_substructure,
+                                         sharded_bdd_solve)
+    from hpddm_tpu.precond.substructure import Substructure, bdd_solve
+
+    S = 4
+    gen = nonoverlap.generate(S, 20, 20)
+    sub = Substructure(gen.mats, gen.neighbors, gen.mappings,
+                       options=Options())
+    st = sub.state
+    f = np.zeros((S, sub.n_max, 1))
+    for s in range(S):
+        f[s, : gen.n_loc[s], 0] = gen.f[s]
+    f = jnp.asarray(f)
+    ref = bdd_solve(st, f, tol=1e-9, max_it=200)
+
+    mesh = _mesh2((2, 2))
+    st_sh = shard_substructure(st, mesh, axis=AX2)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(AX2, None, None)))
+    res = sharded_bdd_solve(st_sh, f_sh, mesh, axis=AX2, tol=1e-9,
+                            max_it=200)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                               atol=1e-8)
