@@ -120,6 +120,23 @@ class CoarseState:
     Eb_diag_inv: Optional[jax.Array] = None  # (S, nu, nu) block Jacobi
     nbr_oh: Optional[jax.Array] = None       # (S, K, S+1) one-hot of the
     #                                          neighbor subdomain ids
+    # levels 4+ (round 4): the generalized buildThree recursion honoring
+    # level_[4-9]\d*_ prefixes (HPDDM_option_impl.hpp:27;
+    # PETSC_PCHPDDM_MAXLEVELS analogue). Chain entry j belongs to level
+    # 4+j: chain_Z[j] maps the level-(3+j) space into the level-(4+j)
+    # aggregate space, chain_E[j] is the Galerkin matrix there, and
+    # chain_inv[j] is its prefactorized inverse (mode 'direct', ending
+    # the recursion) or its Jacobi inverse (mode 'cg', whose deflated CG
+    # is corrected by level 5+j, and so on).
+    chain_Z: tuple = ()
+    chain_E: tuple = ()
+    chain_inv: tuple = ()
+    chain_modes: tuple = dataclasses.field(default=(),
+                                           metadata=dict(static=True))
+    chain_tols: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
+    chain_max_its: tuple = dataclasses.field(default=(),
+                                             metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -218,41 +235,74 @@ def deflation(state: SchwarzState, x: jax.Array,
     return scaled_exchange(dec, out, axis_name)
 
 
-def _solve_level3(co: CoarseState, rc: jax.Array) -> jax.Array:
-    """Solve the level-3 aggregate system E2 w = rc (rc: (n3, mu)).
+def _defl_jacobi_cg(E: jax.Array, Jinv: jax.Array, rc: jax.Array,
+                    tol: float, max_it: int, defl) -> jax.Array:
+    """Jacobi-preconditioned CG on E w = rc (rc: (n, mu)), optionally
+    deflated by ``defl = (Z_next, solve_next)`` — the preconditioner
+    becomes Jinv + Z_next solve_next(Z_next^H r), i.e. the next coarser
+    level's correction. The recursion unit of the level-N chain."""
+    def prec(r):
+        z = Jinv @ r
+        if defl is not None:
+            Zn, slv = defl
+            z = z + Zn @ slv(Zn.conj().T @ r)
+        return z
 
-    'direct': prefactorized inverse. 'cg': nested Jacobi-preconditioned CG
-    with the level-3 options — the recursion of buildThree
-    (HPDDM_inexact_coarse_operator.hpp:741-778,1328) one level down."""
-    if co.lvl3 == "direct":
-        return co.E2_inv @ rc
-    E2, Jinv = co.E2, co.E2_inv                    # E2_inv = Jacobi inverse
     norm = jnp.sqrt(jnp.sum(jnp.abs(rc) ** 2, axis=0))
     norm = jnp.where(norm > 0, norm, 1.0)
 
     def cond(carry):
         w, r, p, rz, it = carry
         res = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0)) / norm
-        return (it < co.l3_max_it) & jnp.any(res > co.l3_tol)
+        return (it < max_it) & jnp.any(res > tol)
 
     def body(carry):
         w, r, p, rz, it = carry
-        Ep = E2 @ p
+        Ep = E @ p
         pq = jnp.sum(jnp.conj(p) * Ep, axis=0)
         alpha = rz / jnp.where(jnp.abs(pq) > 0, pq, 1.0)
         w = w + alpha[None, :] * p
         r = r - alpha[None, :] * Ep
-        z = Jinv @ r
+        z = prec(r)
         rz_new = jnp.sum(jnp.conj(r) * z, axis=0)
         beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
         p = z + beta[None, :] * p
         return (w, r, p, rz_new, it + 1)
 
-    z0 = Jinv @ rc
+    z0 = prec(rc)
     rz0 = jnp.sum(jnp.conj(rc) * z0, axis=0)
     w, *_ = jax.lax.while_loop(
         cond, body, (jnp.zeros_like(rc), rc, z0, rz0, jnp.int32(0)))
     return w
+
+
+def _solve_chain(co: CoarseState, j: int, rc: jax.Array) -> jax.Array:
+    """Solve the level-(4+j) system chain_E[j] w = rc (statically unrolled
+    recursion over the per-level chain)."""
+    if co.chain_modes[j] == "direct":
+        return co.chain_inv[j] @ rc
+    defl = None
+    if j + 1 < len(co.chain_modes):
+        defl = (co.chain_Z[j + 1], lambda r: _solve_chain(co, j + 1, r))
+    return _defl_jacobi_cg(co.chain_E[j], co.chain_inv[j], rc,
+                           co.chain_tols[j], co.chain_max_its[j], defl)
+
+
+def _solve_level3(co: CoarseState, rc: jax.Array) -> jax.Array:
+    """Solve the level-3 aggregate system E2 w = rc (rc: (n3, mu)).
+
+    'direct': prefactorized inverse. 'cg': nested Jacobi-preconditioned CG
+    with the level-3 options — the recursion of buildThree
+    (HPDDM_inexact_coarse_operator.hpp:741-778,1328) one level down; when
+    levels 4+ are configured (level_[4-9]_ options), the CG is deflated
+    by the next level of the chain, recursively."""
+    if co.lvl3 == "direct":
+        return co.E2_inv @ rc
+    defl = None
+    if len(co.chain_modes):
+        defl = (co.chain_Z[0], lambda r: _solve_chain(co, 0, r))
+    return _defl_jacobi_cg(co.E2, co.E2_inv, rc, co.l3_tol, co.l3_max_it,
+                           defl)
 
 
 def _coarse_solve(co: CoarseState, c: jax.Array,
@@ -1288,6 +1338,74 @@ class Schwarz:
                     agg=max(1, int(l3.val("aggregate_size", 1))),
                     l3_nu=int(l3.val("geneo_nu", 0) or 0))
 
+    def _build_chain(self, E2_np, dtype):
+        """Levels 4+ of the coarse recursion (round 4, VERDICT r3 #8).
+
+        Generalizes the hardwired buildThree: for every configured
+        ``level_k_*`` prefix (k = 4, 5, ..., the reference regex
+        ``level_[2-9]\\d*_``, HPDDM_option_impl.hpp:27), aggregate the
+        previous level's matrix in groups of ``level_k_aggregate_size``
+        indices — constants per aggregate, or the ``level_k_geneo_nu``
+        smallest eigenpairs of each aggregate's diagonal block (the GenEO
+        rule recursed) — and Galerkin-project. ``level_k_krylov_method``
+        cg/gmres continues the chain (Jacobi-CG deflated by level k+1);
+        unset/direct prefactorizes and ends it. Returns the CoarseState
+        chain_* tuples (empty when no level-4 options are set)."""
+        hd = (np.complex128 if np.iscomplexobj(E2_np) else np.float64)
+        E_prev = np.asarray(E2_np, dtype=hd)
+        chain_Z, chain_E, chain_inv = [], [], []
+        modes, tols, max_its = [], [], []
+        k = 4
+        while True:
+            lv = self.opt.level(k)
+            requested = any(key in lv for key in
+                            ("krylov_method", "aggregate_size", "geneo_nu",
+                             "tol", "max_it"))
+            if not requested:
+                break
+            n_prev = E_prev.shape[0]
+            agg = max(1, int(lv.val("aggregate_size", 4)))
+            q = int(lv.val("geneo_nu", 0) or 0)
+            n_agg = (n_prev + agg - 1) // agg
+            if q > 0:
+                cols = []
+                for g in range(n_agg):
+                    rows = np.arange(g * agg, min((g + 1) * agg, n_prev))
+                    Eg = E_prev[np.ix_(rows, rows)]
+                    Eg = 0.5 * (Eg + Eg.conj().T)
+                    _, v = np.linalg.eigh(Eg)
+                    kk = min(q, len(rows))
+                    blk = np.zeros((n_prev, kk), dtype=hd)
+                    blk[rows, :] = v[:, :kk]
+                    cols.append(blk)
+                Zk = np.concatenate(cols, axis=1)
+            else:
+                Zk = np.zeros((n_prev, n_agg), dtype=hd)
+                Zk[np.arange(n_prev), np.arange(n_prev) // agg] = 1.0
+            Ek = Zk.conj().T @ (E_prev @ Zk)
+            nk = Ek.shape[0]
+            Ek = Ek + (1e-12 * np.trace(Ek).real / max(nk, 1)
+                       * np.eye(nk, dtype=hd))
+            km = lv.val("krylov_method") if "krylov_method" in lv else None
+            mode = "cg" if km in ("cg", "gmres") else "direct"
+            if mode == "cg":
+                inv = np.diag(1.0 / np.diag(Ek))
+            else:
+                inv = np.linalg.inv(Ek)
+            chain_Z.append(jnp.asarray(Zk, dtype=dtype))
+            chain_E.append(jnp.asarray(Ek, dtype=dtype))
+            chain_inv.append(jnp.asarray(inv, dtype=dtype))
+            modes.append(mode)
+            tols.append(float(lv.val("tol", 1e-2)))
+            max_its.append(int(lv.val("max_it", 20)))
+            if mode == "direct":
+                break
+            E_prev = Ek
+            k += 1
+        return dict(chain_Z=tuple(chain_Z), chain_E=tuple(chain_E),
+                    chain_inv=tuple(chain_inv), chain_modes=tuple(modes),
+                    chain_tols=tuple(tols), chain_max_its=tuple(max_its))
+
     def _nbr_blocks(self):
         """Neighbor subdomain lists from the partner tables (the coarse
         block sparsity: E_sq != 0 only for subdomains sharing dofs)."""
@@ -1470,9 +1588,11 @@ class Schwarz:
             E2 = Z2.T.conj() @ (E @ Z2)
             E2 = E2 + (1e-12 * jnp.trace(E2) / n3
                        * jnp.eye(n3, dtype=E.dtype))
+            chain = {}
             if cfg["lvl3"] == "cg":
                 E2_inv = jnp.diag(1.0 / jnp.diag(E2))        # Jacobi
                 E2_keep = E2
+                chain = self._build_chain(np.asarray(E2), E.dtype)
             else:
                 E2_inv, E2_keep = _inv(E2), None
             return CoarseState(Z=Z, E_inv=Minv, E=E,
@@ -1485,7 +1605,8 @@ class Schwarz:
                                l3_tol=cfg["l3_tol"],
                                l3_max_it=cfg["l3_max_it"],
                                E2_inv=E2_inv, Z2=Z2, E2=E2_keep,
-                               Eloc_inv=Eloc_inv, loc_idx=loc_idx)
+                               Eloc_inv=Eloc_inv, loc_idx=loc_idx,
+                               **chain)
         E_inv = _inv(E)
         return CoarseState(Z=Z, E_inv=E_inv, E=None,
                            nu_loc=jnp.asarray(nu_loc), nu_max=nu_max,
@@ -1705,10 +1826,12 @@ class Schwarz:
                 if q < S:
                     E2 += Vs.conj().T @ En_np[s, j] @ V3h[q]
         E2 += 1e-12 * abs(np.trace(E2)) / n3 * np.eye(n3)
+        chain = {}
         if cfg["lvl3"] == "cg":
             E2_inv = jnp.asarray(np.diag(1.0 / np.diag(E2)),
                                  dtype=E_diag.dtype)         # Jacobi
             E2_keep = jnp.asarray(E2, dtype=E_diag.dtype)
+            chain = self._build_chain(E2, E_diag.dtype)
         else:
             E2_inv = jnp.asarray(np.linalg.inv(E2), dtype=E_diag.dtype)
             E2_keep = None
@@ -1739,7 +1862,7 @@ class Schwarz:
             E2_inv=E2_inv, Z2=None, E2=E2_keep, Eloc_inv=Eloc_inv,
             agg_oh=jnp.asarray(V3h, dtype=E_diag.dtype),
             Eb_diag=E_diag, Eb_nbr=E_nb,
-            Eb_diag_inv=Eb_diag_inv, nbr_oh=jnp.asarray(oh))
+            Eb_diag_inv=Eb_diag_inv, nbr_oh=jnp.asarray(oh), **chain)
 
     def _assemble_E(self, Z, nu_loc, nu_max, dtype):
         """E[(s,a),(q,b)] = (R_s^T D_s Z_s^a)^T A (R_q^T D_q Z_q^b).
