@@ -275,6 +275,58 @@ def _schur_host(D, cl, cu, dense_mode, wx_max):
 
 @functools.partial(jax.jit,
                    static_argnames=("dense_mode", "newton", "wx_max"))
+def _schur_device_chain(D, cl, cu, *, dense_mode, newton, wx_max):
+    """Newton-chained device recursion: LU-free except for block 0.
+
+    Consecutive Schur blocks differ by a contraction (D_{j+1} - D_j =
+    -cl (X_j - X_{j-1}) cu for interior rows), so the previous block's
+    inverse is a convergent Newton seed for the next one: X <- X (2I - A X)
+    quadratically at ~2 batched MXU matmuls per step — no LU / triangular
+    solves anywhere in the scan (TPU LU is latency-bound at these sizes;
+    the matmuls ride the MXU at full tilt). Block 0 takes one real
+    batched inverse outside the scan. ``newton`` here is the chained step
+    count (needs ~6: the first blocks start ~0.3 away in residual norm).
+    """
+    L = D.shape[-1]
+    lo = L - wx_max
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(L, dtype=D.dtype)
+
+    def polish(X, A, steps):
+        for _ in range(steps):
+            R = eye - jnp.einsum("sij,sjk->sik", A, X, precision=hp)
+            X = X + jnp.einsum("sij,sjk->sik", X, R, precision=hp)
+        return X
+
+    def step(carry, inp):
+        prev, dprev = carry
+        Dj, clj, cuj = inp
+        corner = prev[:, lo:, lo:]
+        if dense_mode:
+            corr = jnp.einsum("sij,sjk->sik", clj,
+                              jnp.einsum("sij,sjk->sik", corner, cuj,
+                                         precision=hp), precision=hp)
+        else:
+            corr = clj[:, :, None] * corner * cuj[:, None, :]
+        A = Dj.at[:, :wx_max, :wx_max].add(-corr)
+        # seed = previous inverse, column-scaled by the diagonal ratio:
+        # absorbs row-scaling jumps between consecutive blocks (coefficient
+        # channels aligned with grid rows would otherwise put the seed
+        # outside Newton's convergence ball)
+        dnew = jnp.diagonal(A, axis1=1, axis2=2)             # (S, L)
+        ratio = dprev / jnp.where(jnp.abs(dnew) > 0, dnew, 1.0)
+        X = polish(prev * ratio[:, None, :], A, newton)
+        return (X, dnew), X
+
+    with jax.default_matmul_precision("float32"):
+        X0 = polish(jnp.linalg.inv(D[0]), D[0], 1)
+        d0 = jnp.diagonal(D[0], axis1=1, axis2=2)
+        _, Dinv = lax.scan(step, (X0, d0), (D[1:], cl[1:], cu[1:]))
+    return jnp.concatenate([X0[None], Dinv], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dense_mode", "newton", "wx_max"))
 def _schur_device(D, cl, cu, *, dense_mode, newton, wx_max):
     """On-device Schur recursion: lax.scan of batched MXU inversions.
 
@@ -358,12 +410,24 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         (D, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
          nbk, L, wx_max) = _extract_blocks(mats, boxes, n_max, slot_maps, r)
         npdt = np.dtype(dtype)
-        newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "1"))
-        Dinv = _schur_device(jnp.asarray(D.astype(npdt, copy=False)),
-                             jnp.asarray(cl.astype(npdt, copy=False)),
-                             jnp.asarray(cu.astype(npdt, copy=False)),
-                             dense_mode=dense_mode, newton=newton,
-                             wx_max=wx_max)
+        Dd = jnp.asarray(D.astype(npdt, copy=False))
+        cld = jnp.asarray(cl.astype(npdt, copy=False))
+        cud = jnp.asarray(cu.astype(npdt, copy=False))
+        Dinv = None
+        if os.environ.get("HPDDM_TPU_BANDED_CHAIN", "0") == "1":
+            newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "6"))
+            Dinv = _schur_device_chain(Dd, cld, cud, dense_mode=dense_mode,
+                                       newton=newton, wx_max=wx_max)
+            if not bool(jnp.isfinite(Dinv).all()):
+                # the Newton chain left its convergence ball (raw
+                # high-contrast jumps between consecutive blocks):
+                # divergence surfaces as NaN/inf through the corner
+                # recursion — fall back to the LU recursion
+                Dinv = None
+        if Dinv is None:
+            newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "1"))
+            Dinv = _schur_device(Dd, cld, cud, dense_mode=dense_mode,
+                                 newton=newton, wx_max=wx_max)
         return BandedSolver(
             Dinv=Dinv,
             cl=jnp.asarray(cl.astype(npdt, copy=False)),

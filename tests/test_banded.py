@@ -306,3 +306,48 @@ def test_device_factor_dense_coupling():
     x = np.asarray(solver.solve(jnp.asarray(b)))[0, :, 0]
     ref = sp.linalg.spsolve(A.tocsc(), b[0, :, 0])
     np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_device_factor_newton_chain(monkeypatch):
+    """HPDDM_TPU_BANDED_CHAIN=1: the LU-free Newton-chained recursion
+    (block j seeds from block j-1's inverse, diagonal-ratio rescaled)
+    must match the host factors on an equilibrated flagship-like field;
+    on raw rapidly-alternating contrast channels the chain diverges and
+    the builder must silently fall back to the LU recursion."""
+    from hpddm_tpu.core.scaling import jacobi_scale
+
+    def kap(xx, yy):
+        return (np.where((yy > 3.3) & (yy < 6.6), 1.0e3, 1.0)
+                * np.where(xx > 5.0, 10.0, 1.0))
+
+    gen = diffusion2d.generate_uniform(4, 64, 64, overlap=1, kappa=kap,
+                                       with_neumann=True)
+    mats, _, _, _ = jacobi_scale(gen.mats, gen.f, gen.neumann)
+    n_max = max(m.n for m in mats)
+    monkeypatch.setenv("HPDDM_TPU_BANDED_CHAIN", "1")
+    monkeypatch.setenv("HPDDM_TPU_BANDED_NEWTON", "8")
+    sd = build_banded_solver(mats, gen.boxes, n_max, dtype=jnp.float64,
+                             method="device")
+    monkeypatch.delenv("HPDDM_TPU_BANDED_CHAIN")
+    sh = build_banded_solver(mats, gen.boxes, n_max, dtype=jnp.float64,
+                             method="host")
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(len(mats), n_max, 1)))
+    np.testing.assert_allclose(np.asarray(sd.solve(b)),
+                               np.asarray(sh.solve(b)),
+                               rtol=1e-10, atol=1e-10)
+
+    # raw alternating channels: the chain diverges -> LU fallback, and
+    # the returned factors must still be finite and correct
+    monkeypatch.setenv("HPDDM_TPU_BANDED_CHAIN", "1")
+    gen2 = _hetero_gen(Nx=48, Ny=48)
+    n2 = max(m.n for m in gen2.mats)
+    sf = build_banded_solver(gen2.mats, gen2.boxes, n2, dtype=jnp.float64,
+                             method="device")
+    monkeypatch.delenv("HPDDM_TPU_BANDED_CHAIN")
+    s2 = build_banded_solver(gen2.mats, gen2.boxes, n2, dtype=jnp.float64,
+                             method="host")
+    b2 = jnp.asarray(rng.normal(size=(len(gen2.mats), n2, 1)))
+    np.testing.assert_allclose(np.asarray(sf.solve(b2)),
+                               np.asarray(s2.solve(b2)),
+                               rtol=1e-10, atol=1e-10)
