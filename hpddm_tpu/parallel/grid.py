@@ -255,6 +255,18 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
     if os.environ.get("HPDDM_TPU_GRID_LAYOUT") == "4d":
         return _grid_exchange_4d(plan, x, axis_name)
     S_loc, n_max, mu = x.shape
+    if mu > 1 and os.environ.get("HPDDM_TPU_GRID_MU") != "merged":
+        # multi-RHS (round 4): vmap the single-RHS exchange over a
+        # *leading* mu axis. The merged-minor form below keeps mu in the
+        # lane dimension, where every canvas op relayouts the (.., W*mu)
+        # tiles — measured 5.3 ms vs ~60 us at 2048^2/16 mu=4 (88x); the
+        # leading-batch form keeps W minor and costs mu x the mu=1 ops
+        # plus two cheap leading-axis transposes (~0.4 ms total).
+        xT = jnp.moveaxis(x, 2, 0)                      # (mu, S, n)
+        outT = jax.vmap(
+            lambda v: grid_exchange(plan, v[:, :, None], axis_name)[:, :, 0]
+        )(xT)
+        return jnp.moveaxis(outT, 0, 2)
     H, W, t = plan.H, plan.W, plan.t
     Wm, tm = W * mu, t * mu
     x4 = x[:, : H * W, :].reshape(S_loc, H, Wm)
@@ -364,6 +376,16 @@ def grid_exchange(plan: GridPlan, x: jax.Array,
     if n_max > H * W:
         out = jnp.concatenate([out, x[:, H * W:, :]], axis=1)
     return out
+
+
+def grid_exchange_muT(plan: GridPlan, xT: jax.Array,
+                      axis_name: Optional[str] = None) -> jax.Array:
+    """Multi-RHS grid exchange with the RHS axis leading:
+    (S, mu, n) -> (S, mu, n); each RHS runs the single-RHS exchange
+    (vmapped over axis 1 — canvas W stays the lane dimension)."""
+    return jax.vmap(
+        lambda v: grid_exchange(plan, v[:, :, None], axis_name)[:, :, 0],
+        in_axes=1, out_axes=1)(xT)
 
 
 def _shift_select_mu(vals: jax.Array, k: jax.Array, axis: int, t: int,

@@ -171,3 +171,31 @@ def test_exchange_neighbor_only_comm(path):
     txt = _exchange_hlo(build(8, path == "grid"), 8, 8)
     assert "all-gather" not in txt, path
     assert cp_shapes(txt), path
+
+
+def test_mu_leading_gmv_matches_trailing():
+    """Round 4: the multi-RHS canvas fast path (RHS axis leading through
+    spmm_dia_canvas_muT + grid_exchange_muT) must match the generic
+    spmm + scaled_exchange composition exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hpddm_tpu.models import diffusion2d
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.ops.spmv import spmm
+    from hpddm_tpu.parallel.ops import scaled_exchange
+    from hpddm_tpu.precond.schwarz import Schwarz, gmv
+
+    S, N = 4, 64
+    gen = diffusion2d.generate_uniform(S, N, N, overlap=1)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options())
+    sch.set_grid_geometry(gen.boxes, N, N)
+    state = sch.operator_state()
+    assert state.A.canvas_hw is not None
+    rng = np.random.default_rng(0)
+    for mu in (2, 4):
+        x = jnp.asarray(rng.normal(size=(S, sch.n_max, mu)))
+        y_fast = gmv(state, x)
+        y_ref = scaled_exchange(state.dec, spmm(state.A, x), None)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   rtol=1e-12, atol=1e-12)
