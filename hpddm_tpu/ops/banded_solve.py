@@ -165,8 +165,10 @@ def _factor_cache_path(mats, boxes, n_max, dtype, slot_maps, r):
     return os.path.join(cache_dir, f"banded_{h.hexdigest()}.npz")
 
 
-def _extract_blocks(mats, boxes, n_max, slot_maps, r):
-    """Vectorized raw-block extraction (host, f64).
+def _extract_blocks(mats, boxes, n_max, slot_maps, r, out_dtype=np.float64):
+    """Vectorized raw-block extraction (host, f64 by default; the device
+    factor path extracts straight into f32 — halves the host allocation
+    and astype traffic of the ~2 GB flagship block tensors).
 
     One fancy-index scatter per subdomain replaces the old per-block
     scipy ``todense`` loops (O(nbk) scipy slices each) — the extraction
@@ -207,10 +209,10 @@ def _extract_blocks(mats, boxes, n_max, slot_maps, r):
             dense_mode = True
         entries.append((rr, cc, data, wx, wy, slots))
 
-    D = np.zeros((nbk, S, L, L))
+    D = np.zeros((nbk, S, L, L), dtype=out_dtype)
     cshape = (nbk, S, wx_max, wx_max) if dense_mode else (nbk, S, wx_max)
-    cl = np.zeros(cshape)
-    cu = np.zeros(cshape)
+    cl = np.zeros(cshape, dtype=out_dtype)
+    cu = np.zeros(cshape, dtype=out_dtype)
     idx_fwd = np.zeros((S, nbk * L), dtype=np.int32)
     msk_fwd = np.zeros((S, nbk * L, 1))
     idx_inv = np.zeros((S, n_max), dtype=np.int32)
@@ -407,9 +409,11 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
                               and np.dtype(dtype) == np.float32) else "host"
 
     if method == "device":
-        (D, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
-         nbk, L, wx_max) = _extract_blocks(mats, boxes, n_max, slot_maps, r)
         npdt = np.dtype(dtype)
+        real_dt = np.float64 if npdt.itemsize >= 8 else npdt
+        (D, cl, cu, idx_fwd, msk_fwd, idx_inv, msk_inv, dense_mode,
+         nbk, L, wx_max) = _extract_blocks(mats, boxes, n_max, slot_maps, r,
+                                           out_dtype=real_dt)
         Dd = jnp.asarray(D.astype(npdt, copy=False))
         cld = jnp.asarray(cl.astype(npdt, copy=False))
         cud = jnp.asarray(cu.astype(npdt, copy=False))
