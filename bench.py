@@ -19,6 +19,10 @@ import numpy as np
 
 def main():
     _t_start = time.perf_counter()
+    import os
+    # LU-free Newton-chained banded factorization for the (Jacobi-scaled)
+    # flagship twin — NaN-guarded fallback keeps it safe everywhere
+    os.environ.setdefault("HPDDM_TPU_BANDED_CHAIN", "1")
     import jax
     import jax.numpy as jnp
     from hpddm_tpu.models import diffusion2d
@@ -203,7 +207,7 @@ def main():
     # Budget-gated like the flagship twin.
     ladder = ""
     try:
-        if time.perf_counter() - _t_start > 260:
+        if time.perf_counter() - _t_start > 330:
             raise TimeoutError("budget")
         from hpddm_tpu.core.scaling import jacobi_scale as _js
 

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""On-chip validation breadth (round 4, VERDICT r3 weak #8).
+
+Everything previously chip-verified was f32 diffusion/elasticity GMRES;
+this tool exercises, on whatever backend is live (the real TPU under
+axon), the surfaces the suite only runs on CPU:
+
+  1. complex64 Helmholtz (ORAS, the undamped case where ORAS must beat
+     RAS) — complex arithmetic through GMV/locals/Krylov on chip,
+  2. FETI + BDD substructuring (f32, dense coarse) vs the CPU-f64
+     iteration counts,
+  3. true-block BGMRES mu=4 with deflation (block RRQR/CholQR paths),
+  4. GCRO-DR recycling across a two-solve sequence.
+
+Prints one PASS/FAIL line per surface; exits nonzero on any FAIL.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+STATUS = []
+
+
+def check(name, ok, detail):
+    STATUS.append(bool(ok))
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz, compute_residual
+    from hpddm_tpu.solvers.krylov import solve
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fdt = np.float32 if on_tpu else np.float64
+    cdt = np.complex64 if on_tpu else np.complex128
+
+    # -- 1. complex Helmholtz, ORAS vs RAS --------------------------------
+    from hpddm_tpu.models import helmholtz
+    its = {}
+    for method in ("ras", "oras"):
+        gen = helmholtz.generate(4, Nx=60, Ny=60, k=6.0, eps=0.0, dtype=cdt)
+        opt = Options(tol=1e-6, max_it=500, gmres_restart=200,
+                      schwarz_method=method)
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt, optimized_mats=gen.oras_mats)
+        f = np.zeros((4, sch.n_max, 1), dtype=cdt)
+        for s in range(4):
+            f[s, : gen.n_loc[s]] = gen.f[s]
+        f = jnp.asarray(f)
+        st = sch.build()
+        res = solve(st, f, opt=opt)
+        nb, nr = compute_residual(st, res.x, f)
+        rel = float(np.asarray(nr)[0] / np.asarray(nb)[0])
+        its[method] = (int(res.iterations), rel)
+    ok = (its["oras"][0] < its["ras"][0] and its["oras"][1] < 1e-4
+          and its["oras"][0] < 200)
+    check("helmholtz c64 oras<ras", ok, f"{its}")
+
+    # -- 2. FETI + BDD (f32) ----------------------------------------------
+    from hpddm_tpu.models import nonoverlap
+    from hpddm_tpu.precond.substructure import (Substructure, bdd_solve,
+                                                feti_solve)
+    gen2 = nonoverlap.generate(4, 20, 20, dtype=fdt)
+    sub = Substructure(gen2.mats, gen2.neighbors, gen2.mappings,
+                       options=Options())
+    f2 = np.zeros((4, sub.n_max, 1), dtype=fdt)
+    for s in range(4):
+        f2[s, : gen2.n_loc[s], 0] = gen2.f[s]
+    f2 = jnp.asarray(f2)
+    rf = feti_solve(sub.state, f2, tol=1e-5, max_it=100)
+    rb = bdd_solve(sub.state, f2, tol=1e-5, max_it=100)
+    ok = (float(np.max(np.asarray(rf.rel_res))) < 1e-4
+          and float(np.max(np.asarray(rb.rel_res))) < 1e-4
+          and int(rf.iterations) < 60 and int(rb.iterations) < 60)
+    check("feti+bdd f32", ok,
+          f"feti {int(rf.iterations)} its {float(np.max(np.asarray(rf.rel_res))):.1e}, "
+          f"bdd {int(rb.iterations)} its {float(np.max(np.asarray(rb.rel_res))):.1e}")
+
+    # -- 3. BGMRES mu=4 with deflation ------------------------------------
+    from hpddm_tpu.models import diffusion2d
+    gen3 = diffusion2d.generate(4, 80, 80, overlap=1, with_neumann=True,
+                                dtype=fdt)
+    opt3 = Options(tol=1e-6, max_it=300, krylov_method="bgmres",
+                   deflation_tol=1e-7,
+                   schwarz_coarse_correction="deflated", geneo_nu=6)
+    sch3 = Schwarz(gen3.mats, gen3.neighbors, gen3.mappings, d=gen3.d,
+                   options=opt3)
+    sch3.solve_gevp(gen3.neumann)
+    st3 = sch3.build()
+    rng = np.random.default_rng(0)
+    f3 = np.zeros((4, sch3.n_max, 4), dtype=fdt)
+    for s in range(4):
+        f3[s, : gen3.n_loc[s]] = rng.normal(
+            size=(gen3.n_loc[s], 4)).astype(fdt)
+    f3 = sch3.exchange_rhs(jnp.asarray(f3))
+    res3 = solve(st3, f3, opt=opt3)
+    nb3, nr3 = compute_residual(st3, res3.x, f3)
+    rel3 = float(np.max(np.asarray(nr3) / np.asarray(nb3)))
+    ok = rel3 < 1e-4 and int(res3.iterations) < 100
+    check("bgmres mu=4 two-level", ok,
+          f"{int(res3.iterations)} its, worst rel {rel3:.1e}")
+
+    # -- 4. GCRO-DR recycling across solves -------------------------------
+    opt4 = Options(tol=1e-6, max_it=300, krylov_method="gcrodr",
+                   recycle=10, gmres_restart=30)
+    sch4 = Schwarz(gen3.mats, gen3.neighbors, gen3.mappings, d=gen3.d,
+                   options=opt4)
+    st4 = sch4.build()
+    f4 = f3[:, :, :1]
+    r1 = solve(st4, f4, opt=opt4)
+    r2 = solve(st4, f4, opt=opt4)          # warm recycle via opt storage
+    ok = (int(r2.iterations) <= int(r1.iterations)
+          and int(r1.iterations) < 300)
+    check("gcrodr warm recycle", ok,
+          f"cold {int(r1.iterations)} -> warm {int(r2.iterations)} its")
+
+    return 0 if all(STATUS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
