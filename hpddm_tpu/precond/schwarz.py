@@ -730,7 +730,8 @@ class Schwarz:
 
     def _boundary_conditions(self):
         """(S, n_max) Dirichlet-row diagonal values (0 elsewhere), internal
-        numbering; None when no boundary rows exist.
+        numbering; None when no boundary rows exist. Memoized per matrix
+        set (a per-subdomain scipy pass; invalidated by update_matrices).
 
         Row i is a boundary row when its diagonal is penalty-scale
         (>= HPDDM_EPS * HPDDM_PEN — penalty rows keep their off-diagonals
@@ -738,6 +739,9 @@ class Schwarz:
         diagonal is ~1 (an eliminated identity row). The TPU-batched
         re-expression of Subdomain::boundaryCond
         (HPDDM_subdomain.hpp:310-336); host-side, once at setup."""
+        cached = getattr(self, "_bc_cache", ())
+        if cached != ():
+            return cached
         import scipy.sparse as sp
         mats = self._permuted(self.mats)
         bc = np.zeros((self.dec.S, self.n_max),
@@ -755,7 +759,8 @@ class Schwarz:
             if rows.any():
                 found = True
                 bc[s, :n][rows] = diag[rows]
-        return jnp.asarray(bc) if found else None
+        self._bc_cache = jnp.asarray(bc) if found else None
+        return self._bc_cache
 
     def _permuted(self, mats: Sequence[MatrixCSR]) -> List[MatrixCSR]:
         """Apply the decomposition's interface-first renumbering to local
@@ -1294,6 +1299,8 @@ class Schwarz:
         self.mats = list(mats)
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
+        self._herm_all = None           # matrix-content caches invalidated
+        self._bc_cache = ()
         self._try_canvas_annotate()     # revalidates against the new values
         self._apply_gmv_dtype()
 
@@ -1658,7 +1665,11 @@ class Schwarz:
             d = (c - c.conj().T).tocoo()
             return d.nnz == 0 or not np.any(d.data != 0)
 
-        if all(_is_herm(m) for m in self.mats):
+        if getattr(self, "_herm_all", None) is None:
+            # ~0.4 s/matrix at flagship nnz: compute once per matrix set
+            # (invalidated by update_matrices)
+            self._herm_all = all(_is_herm(m) for m in self.mats)
+        if self._herm_all:
             V = W.astype(Z.dtype)
         else:
             A_H = pack_local_matrices(
