@@ -12,9 +12,17 @@ oracle's configuration (higher is better, 1.0 = parity with the cap).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _mark(msg, _t0=[None]):
+    now = time.perf_counter()
+    if _t0[0] is None:
+        _t0[0] = now
+    print(f"[bench {now - _t0[0]:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -32,6 +40,7 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = np.float32 if on_tpu else np.float64
+    _mark("start")
 
     # --- oracle configuration: 100x100, 4 subdomains, two-level GenEO-RAS --
     S, Nx, Ny = 4, 100, 100
@@ -65,6 +74,7 @@ def main():
     jax.block_until_ready(results[-1].x)
     solve_time = (time.perf_counter() - t0) / reps
     its = int(res.iterations)
+    _mark("oracle done")
 
     # --- SpMV throughput (local SpMM + halo) at flagship scale -----------
     # 2048^2/16 = 67 MB of operator values: nothing fits in cache, so the
@@ -139,6 +149,7 @@ def main():
         jax.block_until_ready(y)
         w2 = min(w2, time.perf_counter() - t0)
     gmv_arg_us = max((w2 - w1) / (L2 - L1), 1e-9) * 1e6
+    _mark("spmv/gmv done")
 
     # --- flagship twin: heterogeneous two-level solve (VERDICT r2 #9) ----
     # 512^2/16 contrast-1e4 channel, Jacobi-scaled, banded exact local
@@ -162,7 +173,10 @@ def main():
                                             dtype=dtype)
         mats3, f3_list, neu3, _ = jacobi_scale(gen3.mats, gen3.f,
                                                gen3.neumann)
+        # bsr + replicated direct coarse: same 23 its as the dense
+        # assembly, ~35 s less coarse build at this config (PERF.md r4)
         opt3 = Options(tol=tol, local_solver="banded",
+                       coarse_assembly="bsr",
                        schwarz_coarse_correction="deflated", geneo_nu=8)
         sch3 = Schwarz(mats3, gen3.neighbors, gen3.mappings, d=gen3.d,
                        options=opt3)
@@ -201,6 +215,7 @@ def main():
     except Exception as e:                        # noqa: BLE001
         flagship = ", flagship512=failed(%s)" % type(e).__name__
 
+    _mark("flagship done")
     # --- S-ladder point: 2048^2 at S=256 (VERDICT r3 #2) ------------------
     # dst_cheby locals (no factor memory), Lanczos-GenEO, bsr+direct
     # coarse — the bench_sladder.py S=256 row (r3: 9.1 s / 78 its).
@@ -246,6 +261,7 @@ def main():
     except Exception as e:                        # noqa: BLE001
         ladder = ", ladder256=failed(%s)" % type(e).__name__
 
+    _mark("ladder done")
     print(json.dumps({
         "metric": "2d_diffusion_geneo_ras_gmres",
         "value": round(solve_time, 6),
