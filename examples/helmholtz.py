@@ -45,14 +45,20 @@ def main(argv=None):
     total = 0
     rec = None
     use_recycling = opt.val("krylov_method") in ("gcrodr", "bgcrodr")
+    # the axon TPU runtime has no complex support (chip_smoke.py probe):
+    # on accelerators the model emits the equivalent real-pair problem
+    as_real = jax.default_backend() not in ("cpu",)
     for j in range(sweep):
         kj = k0 * (1.0 + 0.01 * j)
-        gen = helmholtz.generate(S, Nx=Nx, Ny=Nx, k=kj, eps=eps)
+        gen = helmholtz.generate(
+            S, Nx=Nx, Ny=Nx, k=kj, eps=eps, as_real=as_real,
+            dtype=np.complex64 if as_real else np.complex128)
         sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
                       options=opt, optimized_mats=gen.oras_mats)
-        f = np.zeros((S, sch.n_max, 1), dtype=np.complex128)
+        f = np.zeros((S, sch.n_max, 1),
+                     dtype=np.float32 if as_real else np.complex128)
         for s in range(S):
-            f[s, : gen.n_loc[s]] = gen.f[s]
+            f[s, : gen.mats[s].n] = np.asarray(gen.f[s]).reshape(-1, 1)
         f = jnp.asarray(f)
         state = sch.build()
         if use_recycling:

@@ -127,3 +127,43 @@ def test_elasticity_two_level_bgmres():
         assert np.all(rel < 1e-2), (nu, rel)
         its[nu] = int(res.iterations)
     assert its[10] < its[0], its
+
+
+def test_helmholtz_real_pair_matches_complex():
+    """helmholtz.generate(as_real=True): the real-pair solve must
+    reproduce the complex solve (z = x[:n] + i x[n:]) — the TPU-native
+    form for the complex-free axon runtime (tools/chip_smoke.py)."""
+    import jax.numpy as jnp
+    from hpddm_tpu.models import helmholtz
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz, compute_residual
+    from hpddm_tpu.solvers.krylov import solve
+
+    S = 4
+    sols = {}
+    for as_real in (False, True):
+        gen = helmholtz.generate(S, Nx=40, Ny=40, k=5.0, eps=0.05,
+                                 as_real=as_real)
+        opt = Options(tol=1e-10, max_it=400, gmres_restart=200,
+                      schwarz_method="oras")
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt, optimized_mats=gen.oras_mats)
+        f = np.zeros((S, sch.n_max, 1),
+                     dtype=np.float64 if as_real else np.complex128)
+        for s in range(S):
+            f[s, : gen.mats[s].n] = np.asarray(gen.f[s]).reshape(-1, 1)
+        st = sch.build()
+        res = solve(st, jnp.asarray(f), opt=opt)
+        nb, nr = compute_residual(st, res.x, jnp.asarray(f))
+        assert float(np.asarray(nr)[0] / np.asarray(nb)[0]) < 1e-8
+        sols[as_real] = np.asarray(res.x)
+    # compare on subdomain 0's owned dofs: complex z vs [Re; Im] halves
+    n0 = sols[False].shape[1]
+    zc = sols[False][0, :, 0]
+    zr = sols[True][0, :, 0]
+    n_half = 0
+    from hpddm_tpu.models import helmholtz as _h  # noqa: F401
+    # the real-pair layout doubles each subdomain: first half Re, second Im
+    n_half = zr.shape[0] // 2
+    z_pair = zr[:n_half] + 1j * zr[n_half:]
+    np.testing.assert_allclose(z_pair[:n0], zc, rtol=1e-6, atol=1e-8)

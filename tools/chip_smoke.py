@@ -54,39 +54,19 @@ def main():
     # each local matrix/mapping/POU doubled, the DD structure unchanged.
     # CPU keeps the native complex path.
     from hpddm_tpu.models import helmholtz
-    import scipy.sparse as sp
-    from hpddm_tpu.core.csr import MatrixCSR
-
-    def realify_mat(M, rdt):
-        A = M.scipy(expand=True).tocsr()
-        R = sp.bmat([[A.real, -A.imag], [A.imag, A.real]], format="csr")
-        return MatrixCSR(sp.csr_matrix(R, dtype=rdt))
 
     its = {}
     for method in ("ras", "oras"):
-        gen = helmholtz.generate(4, Nx=60, Ny=60, k=6.0, eps=0.0)
-        if on_tpu:
-            n_loc = [m.n for m in gen.mats]
-            mats = [realify_mat(m, fdt) for m in gen.mats]
-            omats = [realify_mat(m, fdt) for m in gen.oras_mats]
-            mappings = [[np.concatenate([np.asarray(m),
-                                         np.asarray(m) + n_loc[s]])
-                         for m in gen.mappings[s]] for s in range(4)]
-            d = [np.concatenate([np.asarray(ds), np.asarray(ds)])
-                 for ds in gen.d]
-            fs = [np.concatenate([np.real(fv), np.imag(fv)]).astype(fdt)
-                  for fv in gen.f]
-        else:
-            mats, omats = gen.mats, gen.oras_mats
-            mappings, d = gen.mappings, gen.d
-            fs = gen.f
+        gen = helmholtz.generate(
+            4, Nx=60, Ny=60, k=6.0, eps=0.0, as_real=on_tpu,
+            dtype=np.complex64 if on_tpu else np.complex128)
         opt = Options(tol=1e-6, max_it=500, gmres_restart=200,
                       schwarz_method=method)
-        sch = Schwarz(mats, gen.neighbors, mappings, d=d,
-                      options=opt, optimized_mats=omats)
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt, optimized_mats=gen.oras_mats)
         f = np.zeros((4, sch.n_max, 1), dtype=fdt if on_tpu else cdt)
         for s in range(4):
-            f[s, : mats[s].n] = np.asarray(fs[s]).reshape(-1, 1)
+            f[s, : gen.mats[s].n] = np.asarray(gen.f[s]).reshape(-1, 1)
         f = jnp.asarray(f)
         st = sch.build()
         res = solve(st, f, opt=opt)
