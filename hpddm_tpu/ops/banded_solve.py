@@ -327,6 +327,44 @@ def _schur_device_chain(D, cl, cu, *, dense_mode, newton, wx_max):
     return jnp.concatenate([X0[None], Dinv], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("dense_mode", "wx_max"))
+def _chain_residual(Dinv, D, cl, cu, *, dense_mode, wx_max):
+    """max_j ||I - A_j X_j||_inf over the stored chain factors.
+
+    Validates the Newton-chained recursion (ADVICE r4: divergence can
+    leave *finite* but badly inaccurate factors that pass an isfinite
+    guard and silently degrade the preconditioner).  Recomputes each
+    Schur block A_j = D_j - cl_j X_{j-1}[lo:, lo:] cu_j from the stored
+    inverses — the recursion's own definition — in a memory-bounded scan
+    (one block resident at a time)."""
+    L = D.shape[-1]
+    lo = L - wx_max
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(L, dtype=D.dtype)
+
+    def step(carry, inp):
+        prev, err = carry
+        Dj, clj, cuj, Xj = inp
+        corner = prev[:, lo:, lo:]
+        if dense_mode:
+            corr = jnp.einsum("sij,sjk->sik", clj,
+                              jnp.einsum("sij,sjk->sik", corner, cuj,
+                                         precision=hp), precision=hp)
+        else:
+            corr = clj[:, :, None] * corner * cuj[:, None, :]
+        A = Dj.at[:, :wx_max, :wx_max].add(-corr)
+        R = eye - jnp.einsum("sij,sjk->sik", A, Xj, precision=hp)
+        err = jnp.maximum(err, jnp.abs(R).sum(-1).max())
+        return (Xj, err), None
+
+    with jax.default_matmul_precision("float32"):
+        R0 = eye - jnp.einsum("sij,sjk->sik", D[0], Dinv[0], precision=hp)
+        err0 = jnp.abs(R0).sum(-1).max()
+        (_, err), _ = lax.scan(step, (Dinv[0], err0),
+                               (D[1:], cl[1:], cu[1:], Dinv[1:]))
+    return err
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dense_mode", "newton", "wx_max"))
 def _schur_device(D, cl, cu, *, dense_mode, newton, wx_max):
@@ -422,11 +460,16 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
             newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "6"))
             Dinv = _schur_device_chain(Dd, cld, cud, dense_mode=dense_mode,
                                        newton=newton, wx_max=wx_max)
-            if not bool(jnp.isfinite(Dinv).all()):
-                # the Newton chain left its convergence ball (raw
-                # high-contrast jumps between consecutive blocks):
-                # divergence surfaces as NaN/inf through the corner
-                # recursion — fall back to the LU recursion
+            # residual probe (ADVICE r4): Newton divergence can leave
+            # finite-but-inaccurate factors; validate max_j ||I - A_j X_j||
+            # against a threshold and fall back to the LU recursion.
+            # One extra pass over the factors (~1 Newton step of cost).
+            err = float(_chain_residual(Dinv, Dd, cld, cud,
+                                        dense_mode=dense_mode,
+                                        wx_max=wx_max))
+            chain_tol = float(os.environ.get("HPDDM_TPU_BANDED_CHAIN_TOL",
+                                             "1e-2"))
+            if not np.isfinite(err) or err > chain_tol:
                 Dinv = None
         if Dinv is None:
             newton = int(os.environ.get("HPDDM_TPU_BANDED_NEWTON", "1"))

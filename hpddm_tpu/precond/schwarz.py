@@ -47,6 +47,10 @@ from hpddm_tpu.parallel.ops import exchange, psum_if, scaled_exchange
 # auto-switches to the block-sparse path (see Schwarz._build_coarse)
 _DENSE_COARSE_BYTES_CAP = 2 << 30
 
+# identity-compared sentinel for the boundary-condition memo: the cached
+# value may be a jnp array (comparing one to a tuple raises)
+_BC_UNSET = object()
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -739,8 +743,8 @@ class Schwarz:
         diagonal is ~1 (an eliminated identity row). The TPU-batched
         re-expression of Subdomain::boundaryCond
         (HPDDM_subdomain.hpp:310-336); host-side, once at setup."""
-        cached = getattr(self, "_bc_cache", ())
-        if cached != ():
+        cached = getattr(self, "_bc_cache", _BC_UNSET)
+        if cached is not _BC_UNSET:
             return cached
         import scipy.sparse as sp
         mats = self._permuted(self.mats)
@@ -1300,7 +1304,7 @@ class Schwarz:
         self.A = pack_local_matrices(self._permuted(mats),
                                      n_max=self.n_max, fmt=fmt)
         self._herm_all = None           # matrix-content caches invalidated
-        self._bc_cache = ()
+        self._bc_cache = _BC_UNSET
         self._try_canvas_annotate()     # revalidates against the new values
         self._apply_gmv_dtype()
 

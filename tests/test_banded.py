@@ -351,3 +351,27 @@ def test_device_factor_newton_chain(monkeypatch):
     np.testing.assert_allclose(np.asarray(sf.solve(b2)),
                                np.asarray(s2.solve(b2)),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_chain_residual_probe_catches_bad_factors():
+    """The chain validation probe (ADVICE r4): exact factors measure ~eps;
+    finite-but-wrong factors measure large — the guard that replaces the
+    old NaN-only fallback must separate the two."""
+    import jax
+    from hpddm_tpu.ops.banded_solve import (_chain_residual,
+                                            _extract_blocks, _schur_host)
+
+    gen = _hetero_gen(Nx=32, Ny=32)
+    n_max = max(m.n for m in gen.mats)
+    (D, cl, cu, *_rest, dense_mode, nbk, L, wx_max) = _extract_blocks(
+        gen.mats, gen.boxes, n_max, None, 1)
+    Dinv = _schur_host(D.copy(), cl, cu, dense_mode, wx_max)
+    good = float(_chain_residual(jnp.asarray(Dinv), jnp.asarray(D),
+                                 jnp.asarray(cl), jnp.asarray(cu),
+                                 dense_mode=dense_mode, wx_max=wx_max))
+    assert good < 1e-8, good          # f64 exact factors
+    bad = Dinv * 1.05                 # finite, plausible-looking, wrong
+    err = float(_chain_residual(jnp.asarray(bad), jnp.asarray(D),
+                                jnp.asarray(cl), jnp.asarray(cu),
+                                dense_mode=dense_mode, wx_max=wx_max))
+    assert np.isfinite(err) and err > 1e-2, err

@@ -70,6 +70,23 @@ def test_penalty_rows_detected_and_seeded():
                                        rtol=1e-8)
 
 
+def test_rebuild_with_penalty_rows():
+    """Second build() on a Schwarz whose _bc_cache holds a jnp array must
+    not crash (ADVICE r4 high: `cached != ()` raised TypeError on arrays;
+    rebuild-after-option-change is a normal pattern)."""
+    gen, mats, fs, pen_rows = _penalized_problem()
+    sch = Schwarz(mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=Options(tol=1e-8))
+    s1 = sch.build()
+    assert s1.bc is not None
+    s2 = sch.build()            # memo hit: must return the cached array
+    np.testing.assert_array_equal(np.asarray(s1.bc), np.asarray(s2.bc))
+    # update_matrices resets the memo to the sentinel, not an array
+    sch.update_matrices(mats)
+    s3 = sch.build()
+    np.testing.assert_array_equal(np.asarray(s1.bc), np.asarray(s3.bc))
+
+
 def test_no_penalty_means_no_bc_state():
     """Oracle problems without penalty rows keep bc=None (start is the
     identity; iteration counts untouched)."""

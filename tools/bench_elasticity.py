@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def main():
     import jax
@@ -79,7 +81,7 @@ def main():
     t_gevp = time.perf_counter() - t0
     t0 = time.perf_counter()
     state = sch.build()
-    jax.block_until_ready(state.dec.d)
+    _fetch_sync(state.dec.d)
     t_build = time.perf_counter() - t0
     print(f"setup: gevp={t_gevp:.1f}s build={t_build:.1f}s", flush=True)
 
@@ -89,10 +91,10 @@ def main():
     f = sch.exchange_rhs(jnp.asarray(f))
     solve_jit = jax.jit(lambda st, b: solve(st, b, opt=opt))
     res = solve_jit(state, f)
-    jax.block_until_ready(res.x)
+    _fetch_sync(res.x)
     t0 = time.perf_counter()
     res = solve_jit(state, f)
-    jax.block_until_ready(res.x)
+    _fetch_sync(res.x)
     t_solve = time.perf_counter() - t0
     nb, nr = compute_residual(state, res.x, f)
     its = int(res.iterations)

@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -87,11 +89,11 @@ def main():
 
         t0 = time.perf_counter()
         res = feti_solve(st, f, tol=args.tol, max_it=args.max_it)
-        jax.block_until_ready(res.u)
+        _fetch_sync(res.u)
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = feti_solve(st, f, tol=args.tol, max_it=args.max_it)
-        jax.block_until_ready(res.u)
+        _fetch_sync(res.u)
         t2 = time.perf_counter() - t0
         print(f"[{mode}] FETI  its={int(res.iterations)} "
               f"relres={float(res.rel_res.max()):.2e} "
@@ -100,11 +102,11 @@ def main():
         if not args.skip_bdd:
             t0 = time.perf_counter()
             resb = bdd_solve(st, f, tol=args.tol, max_it=args.max_it)
-            jax.block_until_ready(resb.u)
+            _fetch_sync(resb.u)
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
             resb = bdd_solve(st, f, tol=args.tol, max_it=args.max_it)
-            jax.block_until_ready(resb.u)
+            _fetch_sync(resb.u)
             t2 = time.perf_counter() - t0
             print(f"[{mode}] BDD   its={int(resb.iterations)} "
                   f"relres={float(resb.rel_res.max()):.2e} "

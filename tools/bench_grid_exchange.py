@@ -16,6 +16,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def scan_time(fn, x, length=20, reps=3):
     import jax
@@ -27,11 +29,11 @@ def scan_time(fn, x, length=20, reps=3):
         return out
 
     y = chain(x)
-    jax.block_until_ready(y)
+    _fetch_sync(y)
     t0 = time.perf_counter()
     for _ in range(reps):
         y = chain(y)
-    jax.block_until_ready(y)
+    _fetch_sync(y)
     return (time.perf_counter() - t0) / (reps * length)
 
 

@@ -22,6 +22,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 WARM_UP = 1
 TRIALS = 3
 
@@ -44,7 +46,7 @@ def bench_solver(name, gen, S, Nx, Ny, mu_max, dtype):
     except Exception as e:                                # noqa: BLE001
         print(f"{name:>9s}  n/a ({type(e).__name__}: {e})", flush=True)
         return
-    jax.block_until_ready(state.dec.d)
+    _fetch_sync(state.dec.d)
     t_numfact = time.perf_counter() - t0
 
     mus, mu = [], mu_max
@@ -70,16 +72,16 @@ def bench_solver(name, gen, S, Nx, Ny, mu_max, dtype):
         y = x
         for _ in range(max(WARM_UP, 1)):               # compile + warm-up
             y = c2(c1(y))
-        jax.block_until_ready(y)
+        _fetch_sync(y)
         w1 = w2 = float("inf")
         for _ in range(TRIALS):
             t0 = time.perf_counter()
             y = c1(y)
-            jax.block_until_ready(y)
+            _fetch_sync(y)
             w1 = min(w1, time.perf_counter() - t0)
             t0 = time.perf_counter()
             y = c2(y)
-            jax.block_until_ready(y)
+            _fetch_sync(y)
             w2 = min(w2, time.perf_counter() - t0)
         cols.append((mu, max((w2 - w1) / (L2 - L1), 0.0)))
     solve_str = "  ".join(f"mu={m}: {t*1e3:8.3f} ms" for m, t in cols)

@@ -23,6 +23,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def run_point(S, Nx, Ny, nu, steps, tol=None):
     import jax
@@ -72,7 +74,7 @@ def run_point(S, Nx, Ny, nu, steps, tol=None):
     t_gevp = time.perf_counter() - t0
     t0 = time.perf_counter()
     state = sch.build()
-    jax.block_until_ready(state.dec.d)
+    _fetch_sync(state.dec.d)
     t_build = time.perf_counter() - t0
 
     f = np.zeros((S, sch.n_max, 1), dtype=dtype)
@@ -81,10 +83,10 @@ def run_point(S, Nx, Ny, nu, steps, tol=None):
     f = jnp.asarray(f)
     solve_jit = jax.jit(lambda st, b: solve(st, b, opt=opt))
     res = solve_jit(state, f)
-    jax.block_until_ready(res.x)                   # compile + first run
+    _fetch_sync(res.x)                   # compile + first run
     t0 = time.perf_counter()
     res = solve_jit(state, f)
-    jax.block_until_ready(res.x)
+    _fetch_sync(res.x)
     t_solve = time.perf_counter() - t0
     rr = np.array(compute_residual(state, res.x, f)).ravel()
     its = int(res.iterations)

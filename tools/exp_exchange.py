@@ -11,6 +11,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def timed(fn, x, length, reps=5):
     import jax
@@ -22,12 +24,12 @@ def timed(fn, x, length, reps=5):
         return out
 
     y = chain(x)
-    jax.block_until_ready(y)
+    _fetch_sync(y)
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
         y = chain(y)
-        jax.block_until_ready(y)
+        _fetch_sync(y)
         best = min(best, time.perf_counter() - t0)
     return best
 

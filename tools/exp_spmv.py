@@ -25,6 +25,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def scan_time_diff(fn, x, L1=10, L2=60, reps=3):
     """Length-differenced per-step time of fn inside a lax.scan chain."""
@@ -41,16 +43,16 @@ def scan_time_diff(fn, x, L1=10, L2=60, reps=3):
 
     c1, c2 = chain(L1), chain(L2)
     y = c2(c1(x))
-    jax.block_until_ready(y)
+    _fetch_sync(y)
     w1 = w2 = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         y = c1(y)
-        jax.block_until_ready(y)
+        _fetch_sync(y)
         w1 = min(w1, time.perf_counter() - t0)
         t0 = time.perf_counter()
         y = c2(y)
-        jax.block_until_ready(y)
+        _fetch_sync(y)
         w2 = min(w2, time.perf_counter() - t0)
     return max((w2 - w1) / (L2 - L1), 1e-9)
 

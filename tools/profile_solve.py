@@ -11,15 +11,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def timeit(fn, *args, reps=20):
     import jax
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -71,7 +73,7 @@ def main():
     print(f"apply 2-level  : {timeit(apply2_j, f) * 1e6:9.1f} us")
     print(f"gram (41 vecs) : {timeit(gram_j, V, f) * 1e6:9.1f} us")
     res = solve_j(f)
-    jax.block_until_ready(res.x)
+    _fetch_sync(res.x)
     t = timeit(solve_j, f, reps=3)
     print(f"full solve     : {t * 1e3:9.2f} ms  "
           f"({int(res.iterations)} its, {t / max(int(res.iterations), 1) * 1e6:.0f} us/it)")

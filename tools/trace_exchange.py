@@ -13,6 +13,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hpddm_tpu.timing import fetch as _fetch_sync  # noqa: E402  (axon: block_until_ready does not sync)
+
 
 def main():
     import jax
@@ -42,13 +44,13 @@ def main():
         return out
 
     y = chain(x)
-    jax.block_until_ready(y)
+    _fetch_sync(y)
 
     logdir = "/tmp/jax-trace-exchange"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
         y = chain(y)
-        jax.block_until_ready(y)
+        _fetch_sync(y)
 
     # find the trace events file
     paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
