@@ -1,15 +1,18 @@
-/* Single-process MPI stub: just enough of the MPI-3 API, with np=1
- * semantics, to build and run the reference HPDDM Schwarz examples
- * sequentially for cross-implementation parity tests (tools/refparity.py).
+/* MPI stub for building the reference HPDDM examples WITHOUT MPI, in two
+ * modes, for cross-implementation parity tests (tools/refparity.py):
  *
- * Semantics at one rank:
- *   - every collective is a copy (or a no-op with MPI_IN_PLACE),
- *   - point-to-point is unreachable (a 1-rank decomposition has no
- *     neighbors); Isend/Irecv/Send abort loudly if ever called,
- *   - nonblocking collectives complete immediately (request = NULL).
+ *   default             — single-process np=1 semantics (round 4): every
+ *                         collective is a copy, point-to-point aborts as
+ *                         unreachable.  Header-only static inline.
+ *   -DHPDDM_STUB_MULTIRANK — single-MACHINE multi-rank runtime (round 5):
+ *                         MPI_Init forks HPDDM_STUB_NP processes wired by
+ *                         socketpairs; point-to-point, waits, and the
+ *                         collectives are implemented for real in
+ *                         mpi_multirank.cpp (same directory; compile and
+ *                         link it alongside).
  *
- * Datatype values encode their byte size; reduction ops are never applied
- * (a one-rank reduction is the identity).  Header-only: static inline.
+ * Datatype values encode (kind << 8 | byte size): the multi-rank
+ * reductions need type identity, the np=1 copies only the size.
  */
 #ifndef HPDDM_TPU_MPI_STUB_H
 #define HPDDM_TPU_MPI_STUB_H
@@ -26,8 +29,8 @@
 typedef int MPI_Comm;
 typedef int MPI_Group;
 typedef int MPI_Op;
-typedef int MPI_Request;
-typedef int MPI_Datatype; /* value == byte size of one element */
+typedef void *MPI_Request;
+typedef int MPI_Datatype; /* value == (kind << 8) | sizeof(one element) */
 typedef struct { int MPI_SOURCE, MPI_TAG, MPI_ERROR, count_bytes; } MPI_Status;
 typedef void(MPI_User_function)(void *, void *, int *, MPI_Datatype *);
 
@@ -44,23 +47,26 @@ typedef void(MPI_User_function)(void *, void *, int *, MPI_Datatype *);
 #define MPI_BOR ((MPI_Op)104)
 #define MPI_LOR ((MPI_Op)105)
 
+/* kind: 0 raw bytes, 1 signed int, 2 unsigned int, 3 real, 4 complex */
+#define MPI_STUB_T(k, s) ((MPI_Datatype)(((k) << 8) | (s)))
+#define MPI_STUB_SIZE(t) ((int)((t) & 0xff))
 #define MPI_DATATYPE_NULL ((MPI_Datatype)0)
-#define MPI_BYTE ((MPI_Datatype)1)
-#define MPI_CHAR ((MPI_Datatype)1)
-#define MPI_UNSIGNED_CHAR ((MPI_Datatype)1)
-#define MPI_SHORT ((MPI_Datatype)2)
-#define MPI_UNSIGNED_SHORT ((MPI_Datatype)2)
-#define MPI_INT ((MPI_Datatype)4)
-#define MPI_UNSIGNED ((MPI_Datatype)4)
-#define MPI_FLOAT ((MPI_Datatype)4)
-#define MPI_LONG ((MPI_Datatype)8)
-#define MPI_UNSIGNED_LONG ((MPI_Datatype)8)
-#define MPI_LONG_LONG ((MPI_Datatype)8)
-#define MPI_UNSIGNED_LONG_LONG ((MPI_Datatype)8)
-#define MPI_DOUBLE ((MPI_Datatype)8)
-#define MPI_C_COMPLEX ((MPI_Datatype)8)
-#define MPI_C_FLOAT_COMPLEX ((MPI_Datatype)8)
-#define MPI_C_DOUBLE_COMPLEX ((MPI_Datatype)16)
+#define MPI_BYTE MPI_STUB_T(0, 1)
+#define MPI_CHAR MPI_STUB_T(1, 1)
+#define MPI_UNSIGNED_CHAR MPI_STUB_T(2, 1)
+#define MPI_SHORT MPI_STUB_T(1, 2)
+#define MPI_UNSIGNED_SHORT MPI_STUB_T(2, 2)
+#define MPI_INT MPI_STUB_T(1, 4)
+#define MPI_UNSIGNED MPI_STUB_T(2, 4)
+#define MPI_FLOAT MPI_STUB_T(3, 4)
+#define MPI_LONG MPI_STUB_T(1, 8)
+#define MPI_UNSIGNED_LONG MPI_STUB_T(2, 8)
+#define MPI_LONG_LONG MPI_STUB_T(1, 8)
+#define MPI_UNSIGNED_LONG_LONG MPI_STUB_T(2, 8)
+#define MPI_DOUBLE MPI_STUB_T(3, 8)
+#define MPI_C_COMPLEX MPI_STUB_T(4, 8)
+#define MPI_C_FLOAT_COMPLEX MPI_STUB_T(4, 8)
+#define MPI_C_DOUBLE_COMPLEX MPI_STUB_T(4, 16)
 
 #define MPI_IN_PLACE ((void *)(-1))
 #define MPI_STATUS_IGNORE ((MPI_Status *)0)
@@ -76,6 +82,65 @@ typedef void(MPI_User_function)(void *, void *, int *, MPI_Datatype *);
 #define MPI_THREAD_FUNNELED 1
 #define MPI_THREAD_SERIALIZED 2
 #define MPI_THREAD_MULTIPLE 3
+
+#ifdef HPDDM_STUB_MULTIRANK
+/* ------------------------------------------------------------------ *
+ * Multi-rank mode: real implementations live in mpi_multirank.cpp.   *
+ * ------------------------------------------------------------------ */
+#ifdef __cplusplus
+extern "C" {
+#endif
+int MPI_Init(int *argc, char ***argv);
+int MPI_Init_thread(int *argc, char ***argv, int req, int *prov);
+int MPI_Finalize(void);
+int MPI_Finalized(int *flag);
+int MPI_Initialized(int *flag);
+int MPI_Abort(MPI_Comm c, int code);
+double MPI_Wtime(void);
+int MPI_Comm_size(MPI_Comm c, int *s);
+int MPI_Comm_rank(MPI_Comm c, int *r);
+int MPI_Comm_dup(MPI_Comm c, MPI_Comm *out);
+int MPI_Comm_free(MPI_Comm *c);
+int MPI_Comm_group(MPI_Comm c, MPI_Group *g);
+int MPI_Comm_create(MPI_Comm c, MPI_Group g, MPI_Comm *out);
+int MPI_Comm_compare(MPI_Comm a, MPI_Comm b, int *res);
+int MPI_Barrier(MPI_Comm c);
+int MPI_Group_size(MPI_Group g, int *s);
+int MPI_Group_incl(MPI_Group g, int n, const int *ranks, MPI_Group *out);
+int MPI_Group_excl(MPI_Group g, int n, const int *ranks, MPI_Group *out);
+int MPI_Group_range_incl(MPI_Group g, int n, int ranges[][3], MPI_Group *out);
+int MPI_Group_free(MPI_Group *g);
+int MPI_Op_create(MPI_User_function *fn, int commute, MPI_Op *op);
+int MPI_Op_free(MPI_Op *op);
+int MPI_Allreduce(const void *s, void *r, int n, MPI_Datatype t, MPI_Op op, MPI_Comm c);
+int MPI_Exscan(const void *s, void *r, int n, MPI_Datatype t, MPI_Op op, MPI_Comm c);
+int MPI_Bcast(void *b, int n, MPI_Datatype t, int root, MPI_Comm c);
+int MPI_Allgather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, MPI_Comm c);
+int MPI_Gather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c);
+int MPI_Scatter(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c);
+int MPI_Allgatherv(const void *s, int sn, MPI_Datatype st, void *r, const int *rn, const int *displs, MPI_Datatype rt, MPI_Comm c);
+int MPI_Gatherv(const void *s, int sn, MPI_Datatype st, void *r, const int *rn, const int *displs, MPI_Datatype rt, int root, MPI_Comm c);
+int MPI_Scatterv(const void *s, const int *sn, const int *displs, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c);
+int MPI_Igather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c, MPI_Request *rq);
+int MPI_Igatherv(const void *s, int sn, MPI_Datatype st, void *r, const int *rn, const int *displs, MPI_Datatype rt, int root, MPI_Comm c, MPI_Request *rq);
+int MPI_Iscatter(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c, MPI_Request *rq);
+int MPI_Iscatterv(const void *s, const int *sn, const int *displs, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c, MPI_Request *rq);
+int MPI_Isend(const void *b, int n, MPI_Datatype t, int dst, int tag, MPI_Comm c, MPI_Request *rq);
+int MPI_Irecv(void *b, int n, MPI_Datatype t, int src, int tag, MPI_Comm c, MPI_Request *rq);
+int MPI_Send(const void *b, int n, MPI_Datatype t, int dst, int tag, MPI_Comm c);
+int MPI_Recv(void *b, int n, MPI_Datatype t, int src, int tag, MPI_Comm c, MPI_Status *st);
+int MPI_Wait(MPI_Request *rq, MPI_Status *st);
+int MPI_Waitall(int n, MPI_Request *rqs, MPI_Status *sts);
+int MPI_Waitany(int n, MPI_Request *rqs, int *index, MPI_Status *st);
+int MPI_Testall(int n, MPI_Request *rqs, int *flag, MPI_Status *sts);
+int MPI_Get_count(const MPI_Status *st, MPI_Datatype t, int *count);
+#ifdef __cplusplus
+}
+#endif
+
+#else /* !HPDDM_STUB_MULTIRANK ------------------------------------------ *
+       * Single-process np=1 semantics (round 4), header-only.           *
+       * --------------------------------------------------------------- */
 
 static inline int MPI_Init(int *argc, char ***argv) { (void)argc; (void)argv; return 0; }
 static inline int MPI_Init_thread(int *argc, char ***argv, int req, int *prov) { (void)argc; (void)argv; (void)req; if (prov) *prov = MPI_THREAD_MULTIPLE; return 0; }
@@ -108,24 +173,24 @@ static inline int mpi_stub_copy_(const void *src, void *dst, long long bytes)
   if (src != MPI_IN_PLACE && src != dst && bytes > 0) memcpy(dst, src, (size_t)bytes);
   return 0;
 }
-static inline int MPI_Allreduce(const void *s, void *r, int n, MPI_Datatype t, MPI_Op op, MPI_Comm c) { (void)op; (void)c; return mpi_stub_copy_(s, r, (long long)n * t); }
+static inline int MPI_Allreduce(const void *s, void *r, int n, MPI_Datatype t, MPI_Op op, MPI_Comm c) { (void)op; (void)c; return mpi_stub_copy_(s, r, (long long)n * MPI_STUB_SIZE(t)); }
 static inline int MPI_Exscan(const void *s, void *r, int n, MPI_Datatype t, MPI_Op op, MPI_Comm c) { (void)s; (void)r; (void)n; (void)t; (void)op; (void)c; return 0; /* rank 0 result undefined */ }
 static inline int MPI_Bcast(void *b, int n, MPI_Datatype t, int root, MPI_Comm c) { (void)b; (void)n; (void)t; (void)root; (void)c; return 0; }
-static inline int MPI_Allgather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, MPI_Comm c) { (void)rn; (void)rt; (void)c; return mpi_stub_copy_(s, r, (long long)sn * st); }
-static inline int MPI_Gather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c) { (void)rn; (void)rt; (void)root; (void)c; return mpi_stub_copy_(s, r, (long long)sn * st); }
-static inline int MPI_Scatter(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c) { (void)rn; (void)rt; (void)root; (void)c; return mpi_stub_copy_(s, r, (long long)sn * st); }
+static inline int MPI_Allgather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, MPI_Comm c) { (void)rn; (void)rt; (void)c; return mpi_stub_copy_(s, r, (long long)sn * MPI_STUB_SIZE(st)); }
+static inline int MPI_Gather(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c) { (void)rn; (void)rt; (void)root; (void)c; return mpi_stub_copy_(s, r, (long long)sn * MPI_STUB_SIZE(st)); }
+static inline int MPI_Scatter(const void *s, int sn, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c) { (void)rn; (void)rt; (void)root; (void)c; return mpi_stub_copy_(s, r, (long long)sn * MPI_STUB_SIZE(st)); }
 static inline int MPI_Allgatherv(const void *s, int sn, MPI_Datatype st, void *r, const int *rn, const int *displs, MPI_Datatype rt, MPI_Comm c)
 {
   (void)c;
   if (s == MPI_IN_PLACE) return 0;
-  return mpi_stub_copy_(s, (char *)r + (displs ? (long long)displs[0] * rt : 0), sn ? (long long)sn * st : (long long)rn[0] * rt);
+  return mpi_stub_copy_(s, (char *)r + (displs ? (long long)displs[0] * MPI_STUB_SIZE(rt) : 0), sn ? (long long)sn * MPI_STUB_SIZE(st) : (long long)rn[0] * MPI_STUB_SIZE(rt));
 }
 static inline int MPI_Gatherv(const void *s, int sn, MPI_Datatype st, void *r, const int *rn, const int *displs, MPI_Datatype rt, int root, MPI_Comm c) { (void)root; return MPI_Allgatherv(s, sn, st, r, rn, displs, rt, c); }
 static inline int MPI_Scatterv(const void *s, const int *sn, const int *displs, MPI_Datatype st, void *r, int rn, MPI_Datatype rt, int root, MPI_Comm c)
 {
   (void)rn; (void)rt; (void)root; (void)c;
   if (r == MPI_IN_PLACE || s == MPI_IN_PLACE) return 0;
-  return mpi_stub_copy_((const char *)s + (displs ? (long long)displs[0] * st : 0), r, (long long)sn[0] * st);
+  return mpi_stub_copy_((const char *)s + (displs ? (long long)displs[0] * MPI_STUB_SIZE(st) : 0), r, (long long)sn[0] * MPI_STUB_SIZE(st));
 }
 
 /* nonblocking collectives: complete immediately */
@@ -154,6 +219,7 @@ static inline int MPI_Waitany(int n, MPI_Request *rqs, int *index, MPI_Status *s
   return 0;
 }
 static inline int MPI_Testall(int n, MPI_Request *rqs, int *flag, MPI_Status *sts) { (void)n; (void)rqs; (void)sts; if (flag) *flag = 1; return 0; }
-static inline int MPI_Get_count(const MPI_Status *st, MPI_Datatype t, int *count) { *count = st ? st->count_bytes / (t ? t : 1) : 0; return 0; }
+static inline int MPI_Get_count(const MPI_Status *st, MPI_Datatype t, int *count) { *count = st ? st->count_bytes / (MPI_STUB_SIZE(t) ? MPI_STUB_SIZE(t) : 1) : 0; return 0; }
 
+#endif /* HPDDM_STUB_MULTIRANK */
 #endif /* HPDDM_TPU_MPI_STUB_H */
