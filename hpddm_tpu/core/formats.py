@@ -83,13 +83,22 @@ class BatchedELL:
     values: jax.Array                     # (S, n_max, width)
     cols: jax.Array                       # (S, n_max, width) int32
     n_max: int = dataclasses.field(metadata=dict(static=True))
+    # optional windowed band-ELL payload (ops/pallas_ell.annotate_windowed):
+    # the TPU-native unstructured SpMV — in-kernel lane gathers over
+    # VMEM-resident x windows of a band-ordered numbering. None on CPU or
+    # when the numbering is not banded.
+    windowed: Optional[object] = None
 
     @property
     def S(self) -> int:
         return self.values.shape[0]
 
     def astype(self, dtype) -> "BatchedELL":
-        return dataclasses.replace(self, values=self.values.astype(dtype))
+        new = dataclasses.replace(self, values=self.values.astype(dtype))
+        if self.windowed is not None:
+            new = dataclasses.replace(new, windowed=dataclasses.replace(
+                self.windowed, vals=self.windowed.vals.astype(dtype)))
+        return new
 
 
 @jax.tree_util.register_dataclass

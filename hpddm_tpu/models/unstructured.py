@@ -125,15 +125,47 @@ def _apply_dirichlet(K: sp.csr_matrix, boundary: np.ndarray,
     return sp.csr_matrix(K2), f2
 
 
+def partition_geometric(pts: np.ndarray, S: int) -> np.ndarray:
+    """Coordinate-quantile box partition: near-perfectly balanced parts in
+    O(N log N), the fast-path stand-in for graph partitioning when vertex
+    coordinates exist (partition_kway's BFS seeding is O(N * diameter * k)
+    — minutes at production N; ADVICE r4).  Splits x into gx quantile
+    columns, each column into gy quantile cells (gx * gy = S)."""
+    N = len(pts)
+    gx = int(np.sqrt(S))
+    while S % gx:
+        gx -= 1
+    gy = S // gx
+    owner = np.zeros(N, dtype=np.int64)
+    order_x = np.argsort(pts[:, 0], kind="stable")
+    col_bounds = np.linspace(0, N, gx + 1).astype(np.int64)
+    for cx in range(gx):
+        col = order_x[col_bounds[cx]: col_bounds[cx + 1]]
+        order_y = col[np.argsort(pts[col, 1], kind="stable")]
+        row_bounds = np.linspace(0, len(col), gy + 1).astype(np.int64)
+        for cy in range(gy):
+            owner[order_y[row_bounds[cy]: row_bounds[cy + 1]]] = cx * gy + cy
+    return owner
+
+
 def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
              kappa: Optional[Callable] = None, with_neumann: bool = True,
              jitter: float = 0.42, grading: float = 0.0, seed: int = 0,
+             partition: str = "kway", rcm_local: bool = True,
              dtype=np.float64) -> UnstructuredGenerated:
     """Unstructured P1 FEM diffusion decomposed into S subdomains.
 
     The decomposition path is the algebraic one (models/fromfile.decompose
     with partition_kway) — exactly what the reference does to an arbitrary
-    assembled matrix in schwarzFromFile (generateFromFile.cpp:63-141)."""
+    assembled matrix in schwarzFromFile (generateFromFile.cpp:63-141).
+    partition: "kway" (graph-based, best cuts), "geometric" (coordinate
+    quantile boxes — O(N log N), for production sizes).
+
+    rcm_local (default True): reverse Cuthill-McKee order each subdomain's
+    local dofs.  Neighbor mapping alignment is unaffected (lists stay
+    sorted by global id); the banded local numbering is what enables both
+    the windowed lane-gather SpMV (ops/pallas_ell.py) and near-identity
+    slot maps in the RCM banded factorization."""
     ny = ny or nx
     pts, tris, boundary = delaunay_mesh(nx, ny, jitter=jitter,
                                         grading=grading, seed=seed)
@@ -146,7 +178,10 @@ def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
     K.eliminate_zeros()
     K_m = MatrixCSR(sp.csr_matrix(K.astype(dtype)))
 
-    base = decompose(K_m, S, overlap=overlap, f_global=f_glob)
+    owner = partition_geometric(pts, S) if partition == "geometric" \
+        else None
+    base = decompose(K_m, S, overlap=overlap, f_global=f_glob,
+                     owner=owner)
     out = UnstructuredGenerated(
         **{fld.name: getattr(base, fld.name)
            for fld in dataclasses.fields(FromFileGenerated)})
@@ -168,4 +203,30 @@ def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
             sub = sp.csr_matrix(Ks[nodes][:, nodes].astype(dtype))
             sub.eliminate_zeros()
             out.neumann.append(MatrixCSR(sub))
+
+    if rcm_local:
+        _rcm_localize(out)
     return out
+
+
+def _rcm_localize(out: UnstructuredGenerated) -> None:
+    """Permute every subdomain's local numbering to reverse Cuthill-McKee
+    order, in place.  Mapping lists keep their (global-id-sorted) order —
+    only the local index values change — so neighbor alignment holds."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    S = len(out.mats)
+    for s in range(S):
+        K = out.mats[s].scipy(expand=True)
+        perm = np.asarray(reverse_cuthill_mckee(K, symmetric_mode=True))
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        out.mats[s] = MatrixCSR(sp.csr_matrix(K[perm][:, perm]))
+        out.gids[s] = out.gids[s][perm]
+        out.d[s] = out.d[s][perm]
+        out.f[s] = out.f[s][perm]
+        if out.neumann is not None:
+            Kn = out.neumann[s].scipy(expand=True)
+            out.neumann[s] = MatrixCSR(sp.csr_matrix(Kn[perm][:, perm]))
+        for q in range(len(out.mappings[s])):
+            out.mappings[s][q] = iperm[out.mappings[s][q]]

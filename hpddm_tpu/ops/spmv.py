@@ -184,7 +184,16 @@ def spmm_dia_canvas_muT_scan(A: BatchedDIA, xT: jax.Array,
 
 
 def spmm_ell(A: BatchedELL, x: jax.Array) -> jax.Array:
-    """y[s, i, :] = sum_w vals[s, i, w] * x[s, cols[s, i, w], :]."""
+    """y[s, i, :] = sum_w vals[s, i, w] * x[s, cols[s, i, w], :].
+
+    With a ``windowed`` annotation (band-ordered numbering, TPU backend)
+    the product runs in the Pallas lane-gather kernel (ops/pallas_ell.py)
+    — the XLA take_along_axis path below is element-serial on TPU
+    (~10 ns/element, tools/exp_gather.py)."""
+    if A.windowed is not None and \
+            jax.default_backend() not in ("cpu",):
+        from hpddm_tpu.ops.pallas_ell import spmm_windowed
+        return spmm_windowed(A, x)
     # gathered: (S, n, w, mu)
     gathered = jnp.take_along_axis(x[:, :, None, :],
                                    A.cols[:, :, :, None], axis=1)

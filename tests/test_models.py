@@ -167,3 +167,38 @@ def test_helmholtz_real_pair_matches_complex():
     n_half = zr.shape[0] // 2
     z_pair = zr[:n_half] + 1j * zr[n_half:]
     np.testing.assert_allclose(z_pair[:n0], zc, rtol=1e-6, atol=1e-8)
+
+
+def test_helmholtz_chip_anchor_twin():
+    """CPU twin of the chip_smoke real-pair ORAS run (VERDICT r4 #7).
+
+    The exact 60^2/k=6 undamped problem chip_smoke solves on the TPU takes
+    194 oras iterations on the CPU backend in BOTH f64 and f32 real-pair
+    form (and 100 in native c128) — so 194 is a backend-independent
+    anchor, not an f32 artifact.  chip_smoke FAILs if the on-chip count
+    drifts more than 20% from it; this test FAILs if the anchor itself
+    moves (so the hardcoded constant in tools/chip_smoke.py is updated
+    consciously, not silently)."""
+    import jax.numpy as jnp
+    from hpddm_tpu.models import helmholtz
+    from hpddm_tpu.options import Options
+    from hpddm_tpu.precond.schwarz import Schwarz
+    from hpddm_tpu.solvers.krylov import solve
+
+    its = {}
+    for label, as_real, dt, fdt in [
+            ("c128", False, np.complex128, np.complex128),
+            ("realpair-f32", True, np.complex64, np.float32)]:
+        gen = helmholtz.generate(4, Nx=60, Ny=60, k=6.0, eps=0.0,
+                                 as_real=as_real, dtype=dt)
+        opt = Options(tol=1e-6, max_it=500, gmres_restart=200,
+                      schwarz_method="oras")
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt, optimized_mats=gen.oras_mats)
+        f = np.zeros((4, sch.n_max, 1), dtype=fdt)
+        for s in range(4):
+            f[s, : gen.mats[s].n] = np.asarray(gen.f[s]).reshape(-1, 1)
+        res = solve(sch.build(), jnp.asarray(f), opt=opt)
+        its[label] = int(res.iterations)
+    assert its["c128"] == 100, its
+    assert its["realpair-f32"] == 194, its   # tools/chip_smoke.py anchor

@@ -143,3 +143,36 @@ def test_heterogeneous_graded(gen):
     st = sch.build()
     res = solve(st, _rhs(g2, sch, S), opt=opt)
     assert int(res.iterations) <= 25
+
+
+def test_windowed_kernel_matches_ell(gen):
+    """Interpret-mode windowed lane-gather SpMV == ELL gather bitwise-ish
+    (ops/pallas_ell.py; the TPU unstructured hot path)."""
+    import dataclasses
+    import os
+    os.environ["HPDDM_TPU_FORCE_WINDOWED"] = "1"
+    try:
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d)
+        st = sch.build()
+        assert st.A.windowed is not None
+        from hpddm_tpu.ops.pallas_ell import spmm_windowed
+        from hpddm_tpu.ops.spmv import spmm_ell
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(8, sch.n_max, 2)))
+        y1 = np.asarray(spmm_windowed(st.A, x, interpret=True))
+        y2 = np.asarray(spmm_ell(
+            dataclasses.replace(st.A, windowed=None), x))
+        assert np.abs(y1 - y2).max() / np.abs(y2).max() < 1e-12
+    finally:
+        os.environ.pop("HPDDM_TPU_FORCE_WINDOWED", None)
+
+
+def test_rcm_local_alignment(gen):
+    """rcm_local keeps neighbor mappings elementwise-aligned: the mapped
+    global ids must agree pairwise."""
+    for s in range(8):
+        for qi, q in enumerate(gen.neighbors[s]):
+            si = gen.neighbors[q].index(s)
+            gs = gen.gids[s][gen.mappings[s][qi]]
+            gq = gen.gids[q][gen.mappings[q][si]]
+            np.testing.assert_array_equal(gs, gq)
