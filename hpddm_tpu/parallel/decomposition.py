@@ -149,6 +149,10 @@ class Decomposition:
     # row gathers/scatters replace the element-granular ones on the general
     # path
     rowplan: Optional[object] = None
+    # Pallas static-gather exchange plan (parallel/pexchange.py): the
+    # general path's element-granular gathers/scatter as in-kernel lane
+    # gathers; single-device batched layout only
+    pexch: Optional[object] = None
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -221,6 +221,13 @@ def exchange(dec: Decomposition, x: jax.Array,
         summed = lax.optimization_barrier(summed)
         return rp.scatter_rows(plan, xf, rows, summed, x.shape[0],
                                dec.n_max)
+    if dec.pexch is not None and axis_name is None and \
+            jax.default_backend() not in ("cpu",):
+        # Pallas static-gather exchange (parallel/pexchange.py): the three
+        # element-granular index ops below run ~10 ns/element on TPU; the
+        # kernel runs them as in-register lane gathers (round 5)
+        from hpddm_tpu.parallel.pexchange import pexchange
+        return pexchange(dec.pexch, x)
     # general path (caller numbering kept): scatter the summed slots back.
     # (A full-vector gather through an inverse map measures ~14x slower
     # than this scatter on TPU; the renumbered layout above avoids both.)

@@ -613,6 +613,7 @@ class Schwarz:
                                      n_max=self.n_max, fmt=fmt)
         self._apply_gmv_dtype()
         self._try_windowed_annotate()
+        self._try_pexchange_plan()
         self.optimized_mats = list(optimized_mats) if optimized_mats else None
         self._deflation_vectors: Optional[List[np.ndarray]] = None
         self._state: Optional[SchwarzState] = None
@@ -632,6 +633,28 @@ class Schwarz:
             return
         from hpddm_tpu.ops.pallas_ell import annotate_windowed
         self.A = annotate_windowed(self.A)
+
+    def _try_pexchange_plan(self) -> None:
+        """Attach the Pallas static-gather exchange plan
+        (parallel/pexchange.py) for the general path on TPU backends: the
+        element-granular gathers/scatter run ~10 ns/element there.  The
+        grid and renumbered fast paths take precedence in ``exchange``,
+        so the plan is only built when neither applies."""
+        from hpddm_tpu.core.formats import BatchedELL as _ELL
+        if self.dec.renumbered or self.dec.grid is not None:
+            return
+        if not isinstance(self.A, _ELL):
+            # grid/DIA models use the slab or renumbered fast paths; the
+            # plan's inverse maps are n-sized, not worth carrying there
+            return
+        if jax.default_backend() in ("cpu",) and \
+                os.environ.get("HPDDM_TPU_FORCE_PEXCH") != "1":
+            return
+        import dataclasses as _dc
+        from hpddm_tpu.parallel.pexchange import build_plan
+        plan = build_plan(self.dec)
+        if plan is not None:
+            self.dec = _dc.replace(self.dec, pexch=plan)
 
     def _apply_gmv_dtype(self) -> None:
         """Attach a low-precision value mirror for the SpMM hot path

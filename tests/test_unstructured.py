@@ -176,3 +176,25 @@ def test_rcm_local_alignment(gen):
             gs = gen.gids[s][gen.mappings[s][qi]]
             gq = gen.gids[q][gen.mappings[q][si]]
             np.testing.assert_array_equal(gs, gq)
+
+
+def test_pexchange_bitwise(gen):
+    """Pallas static-gather exchange (parallel/pexchange.py) must be
+    bitwise identical to the XLA general path (interpret mode)."""
+    import dataclasses
+    import os
+    os.environ["HPDDM_TPU_FORCE_PEXCH"] = "1"
+    try:
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d)
+        dec = sch.dec
+        assert dec.pexch is not None
+        from hpddm_tpu.parallel.ops import exchange
+        from hpddm_tpu.parallel.pexchange import pexchange
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(8, sch.n_max, 2)))
+        y_ref = np.asarray(exchange(
+            dataclasses.replace(dec, pexch=None), x))
+        y_ker = np.asarray(pexchange(dec.pexch, x, interpret=True))
+        assert np.array_equal(y_ref, y_ker)
+    finally:
+        os.environ.pop("HPDDM_TPU_FORCE_PEXCH", None)
