@@ -44,8 +44,11 @@ def main(argv=None):
         f_global = np.loadtxt(rhs_path).astype(dtype)
 
     S = int(opt.app()["N"])
+    # TPU: band-order local numberings so the windowed lane-gather SpMV
+    # and the Pallas exchange engage (identical math, ~300x SpMV)
     gen = fromfile.decompose(A, S, overlap=int(opt.app()["overlap"]),
-                             f_global=f_global)
+                             f_global=f_global,
+                             rcm_local=jax.default_backend() != "cpu")
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
     f = np.zeros((S, sch.n_max, 1), dtype=dtype)
     for s in range(S):

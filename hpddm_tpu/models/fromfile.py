@@ -208,13 +208,42 @@ def partition_kway(A: sp.spmatrix, k: int, method: str = "gg",
     return _refine_kl(pattern, owner, k, refine_passes, cap)
 
 
+def rcm_localize(out: "FromFileGenerated") -> None:
+    """Permute every subdomain's local numbering to reverse Cuthill-McKee
+    order, in place.  Mapping lists keep their (global-id-sorted) order —
+    only the local index values change — so neighbor alignment holds.
+    The banded local numbering enables the windowed lane-gather SpMV
+    (ops/pallas_ell.py) and near-identity slot maps in the RCM banded
+    factorization on TPU backends."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    S = len(out.mats)
+    neumann = getattr(out, "neumann", None)
+    for s in range(S):
+        K = out.mats[s].scipy(expand=True)
+        perm = np.asarray(reverse_cuthill_mckee(K, symmetric_mode=True))
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        out.mats[s] = MatrixCSR(sp.csr_matrix(K[perm][:, perm]))
+        out.gids[s] = out.gids[s][perm]
+        out.d[s] = out.d[s][perm]
+        out.f[s] = out.f[s][perm]
+        if neumann is not None and neumann[s] is not None:
+            Kn = neumann[s].scipy(expand=True)
+            neumann[s] = MatrixCSR(sp.csr_matrix(Kn[perm][:, perm]))
+        for q in range(len(out.mappings[s])):
+            out.mappings[s][q] = iperm[out.mappings[s][q]]
+
+
 def decompose(A: MatrixCSR, n_subdomains: int, overlap: int = 1,
               f_global: Optional[np.ndarray] = None,
-              owner: Optional[np.ndarray] = None) -> FromFileGenerated:
+              owner: Optional[np.ndarray] = None,
+              rcm_local: bool = False) -> FromFileGenerated:
     """Build overlapping subdomains from an assembled matrix.
 
     Overlap growth (generateFromFile.cpp:63-141): sets grow by
-    ``overlap`` rounds of the |A| adjacency.
+    ``overlap`` rounds of the |A| adjacency.  rcm_local: band-order each
+    subdomain's local numbering (see :func:`rcm_localize`).
     """
     csr = A.scipy(expand=True)
     N = csr.shape[0]
@@ -274,6 +303,9 @@ def decompose(A: MatrixCSR, n_subdomains: int, overlap: int = 1,
     for s in range(n_subdomains):
         f.append(np.asarray(f_global)[gids[s]].reshape(-1, 1))
 
-    return FromFileGenerated(mats=mats, neighbors=neighbors,
-                             mappings=mappings, d=d_all, n_loc=n_loc,
-                             gids=gids, owner=owner, A_global=csr, f=f)
+    out = FromFileGenerated(mats=mats, neighbors=neighbors,
+                            mappings=mappings, d=d_all, n_loc=n_loc,
+                            gids=gids, owner=owner, A_global=csr, f=f)
+    if rcm_local:
+        rcm_localize(out)
+    return out

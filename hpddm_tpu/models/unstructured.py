@@ -205,28 +205,6 @@ def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
             out.neumann.append(MatrixCSR(sub))
 
     if rcm_local:
-        _rcm_localize(out)
+        from hpddm_tpu.models.fromfile import rcm_localize
+        rcm_localize(out)
     return out
-
-
-def _rcm_localize(out: UnstructuredGenerated) -> None:
-    """Permute every subdomain's local numbering to reverse Cuthill-McKee
-    order, in place.  Mapping lists keep their (global-id-sorted) order —
-    only the local index values change — so neighbor alignment holds."""
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-    S = len(out.mats)
-    for s in range(S):
-        K = out.mats[s].scipy(expand=True)
-        perm = np.asarray(reverse_cuthill_mckee(K, symmetric_mode=True))
-        iperm = np.empty_like(perm)
-        iperm[perm] = np.arange(len(perm))
-        out.mats[s] = MatrixCSR(sp.csr_matrix(K[perm][:, perm]))
-        out.gids[s] = out.gids[s][perm]
-        out.d[s] = out.d[s][perm]
-        out.f[s] = out.f[s][perm]
-        if out.neumann is not None:
-            Kn = out.neumann[s].scipy(expand=True)
-            out.neumann[s] = MatrixCSR(sp.csr_matrix(Kn[perm][:, perm]))
-        for q in range(len(out.mappings[s])):
-            out.mappings[s][q] = iperm[out.mappings[s][q]]

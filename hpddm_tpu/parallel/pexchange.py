@@ -101,90 +101,137 @@ def build_plan(dec) -> Optional[PallasExchangePlan]:
         n_tiles=n_tiles, m_tiles=m_tiles, k_max=k_max, n_max=n_max)
 
 
-def _window_gather(src, loc, out_tiles, win_tiles, dtype):
-    """out[r, l] = src[loc[r, l] // 128, loc[r, l] % 128] via one lane
-    gather + select per window tile.  src: (win_tiles, 128)."""
+# window tiles processed per grid step: bounds the unrolled loop body's
+# live temporaries (the one-shot formulation blew the 16 MB scoped-vmem
+# stack at 1M dofs: 26.3 MB of (n_tiles, 128) broadcasts)
+_TC = 64
+
+
+def _chunk_gather_acc(acc, src_chunk, loc, c0, nt, dtype):
+    """acc += gather from one window chunk: src_chunk (nt, 128) holds
+    window tiles [c0, c0 + nt); loc addresses the *global* window."""
     lane = jax.lax.rem(loc, jnp.int32(128))
     tile = jax.lax.div(loc, jnp.int32(128))
-    out = jnp.zeros((out_tiles, 128), dtype=dtype)
-    for t in range(win_tiles):
-        srcb = jnp.broadcast_to(src[t: t + 1, :], (out_tiles, 128))
+    out_tiles = loc.shape[0]
+    for tt in range(nt):
+        srcb = jnp.broadcast_to(src_chunk[tt: tt + 1, :], (out_tiles, 128))
         g = jnp.take_along_axis(srcb, lane, axis=1)
-        out = out + jnp.where(tile == t, g, 0.0)
-    return out
+        acc = acc + jnp.where(tile == c0 + tt, g, 0.0)
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
                geom, interpret: bool = False) -> jax.Array:
-    """x: (S, n) -> exchanged (S, n).  geom = (n_tiles, m_tiles, k_max)."""
+    """x: (S, n) -> exchanged (S, n).  geom = (n_tiles, m_tiles, k_max).
+
+    Three chunked kernels (each grid dim c walks window chunks of _TC
+    tiles, accumulating into a revisited output block):
+      1. extract: vals[s, p] = x[s, if_idx[s, p]]
+      2. reduce:  summed[p]  = vals[p] + sum_k vals_flat[partners[p, k]]
+      3. merge:   y[s, i]    = is_if[i] ? summed[inv[i]] : x[s, i]
+    """
     n_tiles, m_tiles, k_max = geom
     S, n = x.shape
     xp = jnp.pad(x, ((0, 0), (0, n_tiles * 128 - n))) \
         .reshape(S, n_tiles, 128)
+    nxc = -(-n_tiles // _TC)                  # x window chunks
+    n_pad_t = nxc * _TC
+    xpc = jnp.pad(xp, ((0, 0), (0, n_pad_t - n_tiles), (0, 0)))
 
-    def k_extract(x_ref, l_ref, m_ref, v_ref):
-        v_ref[0] = _window_gather(x_ref[0], l_ref[0], m_tiles, n_tiles,
-                                  v_ref.dtype) * m_ref[0]
+    def k_extract(x_ref, l_ref, v_ref):
+        c = pl.program_id(1)
 
-    vals = pl.pallas_call(
+        @pl.when(c == 0)
+        def _():
+            v_ref[0] = jnp.zeros((m_tiles, 128), dtype=v_ref.dtype)
+
+        v_ref[0] = _chunk_gather_acc(v_ref[0], x_ref[0], l_ref[0],
+                                     c * _TC, _TC, v_ref.dtype)
+
+    vals_raw = pl.pallas_call(
         k_extract,
         out_shape=jax.ShapeDtypeStruct((S, m_tiles, 128), x.dtype),
-        grid=(S,),
+        grid=(S, nxc),
         in_specs=[
-            pl.BlockSpec((1, n_tiles, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_tiles, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_tiles, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, m_tiles, 128), lambda s, c: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_tiles, 128), lambda s: (s, 0, 0),
+        out_specs=pl.BlockSpec((1, m_tiles, 128), lambda s, c: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, ifloc, ifmask)
+    )(xpc, ifloc)
+    vals = vals_raw * ifmask
 
-    def k_reduce(x_ref, v_ref, vown_ref, pl_ref, pm_ref, il_ref, im_ref,
-                 o_ref):
-        vflat = v_ref[...].reshape(S * m_tiles, 128)
-        # partner sum first, then add own values — the same reduction
-        # order as ops._interface_reduce (vals + sum(pvals, axis=2)), so
-        # batched Pallas == sharded XLA stays bitwise identical
-        psum = jnp.zeros((m_tiles, 128), dtype=o_ref.dtype)
+    # reduce: per-k partner gathers accumulated over chunks of the flat
+    # (S*m_tiles) interface window; the final sum over k runs in XLA with
+    # the SAME expression as ops._interface_reduce (vals + sum(., axis)),
+    # so batched Pallas == sharded XLA stays bitwise identical (each
+    # partner value lands in exactly one chunk; masked slots add +-0)
+    SM = S * m_tiles
+    nvc = -(-SM // _TC)
+    vflat = jnp.pad(vals.reshape(SM, 128), ((0, nvc * _TC - SM), (0, 0)))
+
+    def k_reduce(vf_ref, pl_ref, o_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            o_ref[0] = jnp.zeros((k_max, m_tiles, 128), dtype=o_ref.dtype)
+
         for k in range(k_max):
-            g = _window_gather(vflat, pl_ref[0, k], m_tiles,
-                               S * m_tiles, o_ref.dtype)
-            psum = psum + g * pm_ref[0, k]
-        summed = vown_ref[0] + psum
-        merged = _window_gather(summed, il_ref[0], n_tiles, m_tiles,
-                                o_ref.dtype)
+            o_ref[0, k] = _chunk_gather_acc(
+                o_ref[0, k], vf_ref[...], pl_ref[0, k], c * _TC, _TC,
+                o_ref.dtype)
+
+    pk = pl.pallas_call(
+        k_reduce,
+        out_shape=jax.ShapeDtypeStruct((S, k_max, m_tiles, 128), x.dtype),
+        grid=(S, nvc),
+        in_specs=[
+            pl.BlockSpec((_TC, 128), lambda s, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_max, m_tiles, 128),
+                         lambda s, c: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k_max, m_tiles, 128),
+                               lambda s, c: (s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vflat, ploc)
+    summed = vals + jnp.sum(
+        jnp.moveaxis(pk * pmask, 1, 3), axis=3)
+
+    def k_merge(x_ref, sm_ref, il_ref, im_ref, o_ref):
+        merged = _chunk_gather_acc(
+            jnp.zeros((_TC, 128), dtype=o_ref.dtype), sm_ref[0],
+            il_ref[0], 0, m_tiles, o_ref.dtype)
         o_ref[0] = jnp.where(im_ref[0] != 0.0, merged, x_ref[0])
 
+    ilc = jnp.pad(invloc, ((0, 0), (0, n_pad_t - n_tiles), (0, 0)))
+    imc = jnp.pad(invmask, ((0, 0), (0, n_pad_t - n_tiles), (0, 0)))
     out = pl.pallas_call(
-        k_reduce,
-        out_shape=jax.ShapeDtypeStruct((S, n_tiles, 128), x.dtype),
-        grid=(S,),
+        k_merge,
+        out_shape=jax.ShapeDtypeStruct((S, n_pad_t, 128), x.dtype),
+        grid=(S, nxc),
         in_specs=[
-            pl.BlockSpec((1, n_tiles, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, m_tiles, 128), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, m_tiles, 128), lambda s, c: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_tiles, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_max, m_tiles, 128), lambda s: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_max, m_tiles, 128), lambda s: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_tiles, 128), lambda s: (s, 0, 0),
+        out_specs=pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, vals, vals, ploc, pmask, invloc, invmask)
-    return out.reshape(S, n_tiles * 128)[:, :n]
+    )(xpc, summed, ilc, imc)
+    return out.reshape(S, n_pad_t * 128)[:, :n]
 
 
 def pexchange(plan: PallasExchangePlan, x: jax.Array,

@@ -123,7 +123,7 @@ def main():
           f"({nnz/t_gmr/1e9:.1f} GNnz/s)", flush=True)
 
     # --- grid twin at comparable nnz (same process: drift-safe A/B) ----
-    ngrid = int(np.sqrt(nnz / 5.0))
+    ngrid = max(4, int(np.sqrt(nnz / 5.0)) // 4 * 4)
     geng = diffusion2d.generate_uniform(16, ngrid, ngrid, overlap=1,
                                         dtype=dtype)
     schz = Schwarz(geng.mats, geng.neighbors, geng.mappings, d=geng.d,
