@@ -76,6 +76,9 @@ def test_driver_gcrodr_sequence():
      "-hpddm_schwarz_coarse_correction", "additive",
      "-hpddm_geneo_nu", "4"],
     ["examples/custom_operator.py", "-n", "60", "-mu", "2"],
+    ["examples/unstructured.py", "-N", "8", "-Nx", "50", "-contrast", "1e4",
+     "-hpddm_schwarz_coarse_correction", "deflated", "-hpddm_geneo_nu", "8",
+     "-hpddm_tol", "1e-8"],
 ])
 def test_model_drivers(args):
     r = _run(args)
