@@ -47,13 +47,19 @@ from hpddm_tpu.core.formats import BatchedELL
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WindowedEll:
-    """Slot-major banded ELL payload (see module doc)."""
+    """Slot-major banded ELL payload (see module doc).
+
+    Round-5 v2: rows are column-sorted, so slot plane j of one row block
+    spans only a few consecutive x 128-tiles; each (block, slot) pair
+    carries its own window start ``offs`` (SMEM scalar) and ``loc`` is
+    local to that per-slot window of ``QT`` tiles — the select loop runs
+    QT ~ 3-6 iterations instead of BR/128 + 2*ceil(B/128) + 1."""
     vals: jax.Array      # (S, nb, w_pad, BRT, 128)
     loc: jax.Array       # (S, nb, w_pad, BRT, 128) int32, window-local col
+    offs: jax.Array      # (S, nb, w_pad) int32 per-slot window start tile
     w_pad: int = dataclasses.field(metadata=dict(static=True))
     BR: int = dataclasses.field(metadata=dict(static=True))
     QT: int = dataclasses.field(metadata=dict(static=True))
-    QH: int = dataclasses.field(metadata=dict(static=True))
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
     bandwidth: int = dataclasses.field(metadata=dict(static=True))
 
@@ -76,28 +82,38 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
     BR = int(block_rows)
     BRT = BR // 128
     QH = -(-B // 128)
-    QT = BRT + 2 * QH + 1
-    if QT > max_qt:
+    if BRT + 2 * QH + 1 > max_qt:
         return A
-    n_tiles = max(-(-n_max // 128), QT)
     nb = -(-n_max // BR)
     w_pad = w
+
+    # column-sort each row so slot j's targets are ~monotone across a
+    # block (minimal per-slot window spread)
+    order = np.argsort(cols_eff, axis=2, kind="stable")
+    cols_eff = np.take_along_axis(cols_eff, order, axis=2)
+    vals = np.take_along_axis(vals, order, axis=2)
 
     n_pad = nb * BR
     vals_p = np.zeros((S, n_pad, w_pad), dtype=vals.dtype)
     vals_p[:, :n_max] = vals
-    loc_p = np.zeros((S, n_pad, w_pad), dtype=np.int64)
     # padding rows: point at themselves (value 0, any in-window target ok)
     rows_p = np.arange(n_pad, dtype=np.int64)[None, :, None]
     cols_p = np.broadcast_to(np.minimum(rows_p, n_max - 1),
                              (S, n_pad, w_pad)).copy()
     cols_p[:, :n_max] = cols_eff
-    b_of = rows_p[0, :, 0] // BR                       # (n_pad,)
-    q0 = np.clip(b_of * BRT - QH, 0, n_tiles - QT)     # (n_pad,)
-    loc_p = cols_p - (q0 * 128)[None, :, None]
+
+    # per (s, block, slot) window: [min tile, max tile] of that slot
+    cb = cols_p.reshape(S, nb, BR, w_pad)
+    t_lo = (cb // 128).min(axis=2)                     # (S, nb, w_pad)
+    t_hi = (cb // 128).max(axis=2)
+    QT = int((t_hi - t_lo).max()) + 1
+    n_tiles = max(-(-n_max // 128), QT)
+    offs = np.minimum(t_lo, n_tiles - QT)              # clamp window end
+    loc_p = cb - (offs[:, :, None, :] * 128)
     if loc_p.min() < 0 or loc_p.max() >= QT * 128:
         raise AssertionError("windowed ELL: column outside its window "
                              f"(B={B}, QT={QT})")
+
     # slot-major tile layout: (S, nb, w_pad, BRT, 128)
     def to_slot_major(x):
         return np.ascontiguousarray(
@@ -105,30 +121,31 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
 
     payload = WindowedEll(
         vals=jnp.asarray(to_slot_major(vals_p)),
-        loc=jnp.asarray(to_slot_major(loc_p).astype(np.int32)),
-        w_pad=w_pad, BR=BR, QT=QT, QH=QH, n_tiles=int(n_tiles),
-        bandwidth=B)
+        loc=jnp.asarray(
+            to_slot_major(loc_p.reshape(S, n_pad, w_pad))
+            .astype(np.int32)),
+        offs=jnp.asarray(offs.astype(np.int32)),
+        w_pad=w_pad, BR=BR, QT=QT, n_tiles=int(n_tiles), bandwidth=B)
     return dataclasses.replace(A, windowed=payload)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def _windowed_spmv(vals: jax.Array, loc: jax.Array, x: jax.Array,
-                   geom: Tuple[int, int, int, int, int],
+def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
+                   x: jax.Array, geom: Tuple[int, int, int, int],
                    interpret: bool = False) -> jax.Array:
-    """x: (S, n) -> y: (S, n).  geom = (w_pad, BR, QT, QH, n_tiles)."""
-    w_pad, BR, QT, QH, n_tiles = geom
+    """x: (S, n) -> y: (S, n).  geom = (w_pad, BR, QT, n_tiles)."""
+    w_pad, BR, QT, n_tiles = geom
     S, nb = vals.shape[:2]
     BRT = BR // 128
     n = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (0, n_tiles * 128 - n))) \
         .reshape(S, n_tiles, 128)
 
-    def kernel(x_ref, v_ref, l_ref, o_ref):
-        b = pl.program_id(1)
-        q0 = jnp.clip(b * BRT - QH, 0, n_tiles - QT)
-        xw = x_ref[0, pl.ds(q0, QT), :]                 # (QT, 128)
+    def kernel(offs_ref, x_ref, v_ref, l_ref, o_ref):
         acc = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
         for j in range(w_pad):
+            off_j = offs_ref[0, 0, j]                   # SMEM scalar
+            xw = x_ref[0, pl.ds(off_j, QT), :]          # (QT, 128)
             locj = l_ref[0, 0, j]                       # (BRT, 128)
             lane = jax.lax.rem(locj, jnp.int32(128))
             tile = jax.lax.div(locj, jnp.int32(128))
@@ -145,6 +162,8 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((S, nb, BRT, 128), x.dtype),
         grid=(S, nb),
         in_specs=[
+            pl.BlockSpec((1, 1, w_pad), lambda s, b: (s, b, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_tiles, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w_pad, BRT, 128),
@@ -157,7 +176,7 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, x: jax.Array,
         out_specs=pl.BlockSpec((1, 1, BRT, 128), lambda s, b: (s, b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, vals, loc)
+    )(offs, xp, vals, loc)
     return out.reshape(S, nb * BR)[:, :n]
 
 
@@ -166,9 +185,9 @@ def spmm_windowed(A: BatchedELL, x: jax.Array,
     """Dispatch entry: x (S, n, mu) -> (S, n, mu); one kernel pass per RHS
     (the values stream stays in VMEM across slots either way)."""
     we: WindowedEll = A.windowed
-    geom = (we.w_pad, we.BR, we.QT, we.QH, we.n_tiles)
+    geom = (we.w_pad, we.BR, we.QT, we.n_tiles)
     mu = x.shape[-1]
-    outs = [_windowed_spmv(we.vals, we.loc, x[:, :, m], geom,
+    outs = [_windowed_spmv(we.vals, we.loc, we.offs, x[:, :, m], geom,
                            interpret=interpret)
             for m in range(mu)]
     return jnp.stack(outs, axis=-1)

@@ -39,13 +39,19 @@ class PallasExchangePlan:
     ifloc: jax.Array    # (S, m_tiles, 128) int32 local flat idx per slot
     ifmask: jax.Array   # (S, m_tiles, 128) f32 slot validity
     ploc: jax.Array     # (S, k_max, m_tiles, 128) int32 packed partner id
+    #                     in the *neighbor-compacted* space r*m_pad + j
     pmask: jax.Array    # (S, k_max, m_tiles, 128) f32
     invloc: jax.Array   # (S, n_tiles, 128) int32 slot id per local dof
     invmask: jax.Array  # (S, n_tiles, 128) f32
+    # neighbor slab compaction: partner values only live in deg_max
+    # neighbor subdomains; one XLA row-granular gather shrinks the
+    # kernel's partner window from S*m_tiles to deg_max*m_tiles tiles
+    nbr_ids: jax.Array  # (S, deg_max) int32 neighbor subdomain ids
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
     m_tiles: int = dataclasses.field(metadata=dict(static=True))
     k_max: int = dataclasses.field(metadata=dict(static=True))
     n_max: int = dataclasses.field(metadata=dict(static=True))
+    deg_max: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def build_plan(dec) -> Optional[PallasExchangePlan]:
@@ -67,12 +73,26 @@ def build_plan(dec) -> Optional[PallasExchangePlan]:
     ifmask[:, :m_max] = if_mask.astype(np.float32)
 
     # partner ids are q * m_max + j (sentinel S * m_max); repack to the
-    # padded slot space q * m_pad + j
+    # *neighbor-compacted* slot space r * m_pad + j, where r is q's rank
+    # in this subdomain's neighbor list — the kernel then only walks
+    # deg_max neighbor slabs instead of all S
     sentinel = S * m_max
     q = partners // m_max
     j = partners - q * m_max
     valid = partners != sentinel
-    ploc_c = np.where(valid, q * m_pad + j, 0)
+    nbr_lists = [np.unique(q[s][valid[s]]) for s in range(S)]
+    deg_max = max((len(v) for v in nbr_lists), default=0)
+    deg_max = max(deg_max, 1)
+    nbr_ids = np.zeros((S, deg_max), dtype=np.int64)
+    rank_of = np.zeros((S, S), dtype=np.int64)
+    for s in range(S):
+        v = nbr_lists[s]
+        nbr_ids[s, : len(v)] = v
+        nbr_ids[s, len(v):] = s        # pad with self (values unused)
+        rank_of[s, v] = np.arange(len(v))
+    r = np.take_along_axis(rank_of, np.where(valid, q, 0).reshape(S, -1),
+                           axis=1).reshape(q.shape)
+    ploc_c = np.where(valid, r * m_pad + j, 0)
     ploc = np.zeros((S, k_max, m_pad), dtype=np.int64)
     pmask = np.zeros((S, k_max, m_pad), dtype=np.float32)
     ploc[:, :, :m_max] = np.transpose(ploc_c, (0, 2, 1))
@@ -98,7 +118,9 @@ def build_plan(dec) -> Optional[PallasExchangePlan]:
         pmask=jnp.asarray(pmask.reshape(S, k_max, m_tiles, 128)),
         invloc=tiles(invloc, n_tiles),
         invmask=jnp.asarray(invmask.reshape(S, n_pad // 128, 128)),
-        n_tiles=n_tiles, m_tiles=m_tiles, k_max=k_max, n_max=n_max)
+        nbr_ids=jnp.asarray(nbr_ids.astype(np.int32)),
+        n_tiles=n_tiles, m_tiles=m_tiles, k_max=k_max, n_max=n_max,
+        deg_max=deg_max)
 
 
 # window tiles processed per grid step: bounds the unrolled loop body's
@@ -122,7 +144,7 @@ def _chunk_gather_acc(acc, src_chunk, loc, c0, nt, dtype):
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
-               geom, interpret: bool = False) -> jax.Array:
+               nbr_ids, geom, interpret: bool = False) -> jax.Array:
     """x: (S, n) -> exchanged (S, n).  geom = (n_tiles, m_tiles, k_max).
 
     Three chunked kernels (each grid dim c walks window chunks of _TC
@@ -165,14 +187,20 @@ def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
     )(xpc, ifloc)
     vals = vals_raw * ifmask
 
-    # reduce: per-k partner gathers accumulated over chunks of the flat
-    # (S*m_tiles) interface window; the final sum over k runs in XLA with
-    # the SAME expression as ops._interface_reduce (vals + sum(., axis)),
-    # so batched Pallas == sharded XLA stays bitwise identical (each
-    # partner value lands in exactly one chunk; masked slots add +-0)
-    SM = S * m_tiles
-    nvc = -(-SM // _TC)
-    vflat = jnp.pad(vals.reshape(SM, 128), ((0, nvc * _TC - SM), (0, 0)))
+    # reduce: per-k partner gathers accumulated over chunks of the
+    # *neighbor-compacted* (deg_max*m_tiles) window — one XLA row-slice
+    # gather collects each subdomain's neighbor slabs first (row-granular
+    # gathers are ~free; tools/exp_gather.py).  The final sum over k runs
+    # in XLA with the SAME expression as ops._interface_reduce
+    # (vals + sum(., axis)), so batched Pallas == sharded XLA stays
+    # bitwise identical (each partner lands in exactly one chunk; masked
+    # slots add +-0)
+    deg = nbr_ids.shape[1]
+    DM = deg * m_tiles
+    nvc = -(-DM // _TC)
+    nbr_vals = vals[nbr_ids]                  # (S, deg, m_tiles, 128)
+    vflat = jnp.pad(nbr_vals.reshape(S, DM, 128),
+                    ((0, 0), (0, nvc * _TC - DM), (0, 0)))
 
     def k_reduce(vf_ref, pl_ref, o_ref):
         c = pl.program_id(1)
@@ -183,7 +211,7 @@ def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
 
         for k in range(k_max):
             o_ref[0, k] = _chunk_gather_acc(
-                o_ref[0, k], vf_ref[...], pl_ref[0, k], c * _TC, _TC,
+                o_ref[0, k], vf_ref[0], pl_ref[0, k], c * _TC, _TC,
                 o_ref.dtype)
 
     pk = pl.pallas_call(
@@ -191,7 +219,7 @@ def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
         out_shape=jax.ShapeDtypeStruct((S, k_max, m_tiles, 128), x.dtype),
         grid=(S, nvc),
         in_specs=[
-            pl.BlockSpec((_TC, 128), lambda s, c: (c, 0),
+            pl.BlockSpec((1, _TC, 128), lambda s, c: (s, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_max, m_tiles, 128),
                          lambda s, c: (s, 0, 0, 0),
@@ -239,7 +267,7 @@ def pexchange(plan: PallasExchangePlan, x: jax.Array,
     """x: (S, n_max, mu) -> exchanged, one kernel pass per RHS."""
     geom = (plan.n_tiles, plan.m_tiles, plan.k_max)
     outs = [_pexchange(x[:, :, m], plan.ifloc, plan.ifmask, plan.ploc,
-                       plan.pmask, plan.invloc, plan.invmask, geom,
-                       interpret=interpret)
+                       plan.pmask, plan.invloc, plan.invmask,
+                       plan.nbr_ids, geom, interpret=interpret)
             for m in range(x.shape[-1])]
     return jnp.stack(outs, axis=-1)

@@ -132,7 +132,8 @@ def main():
     stz = schz.operator_state()
     nnzg = sum(m.nnz for m in geng.mats)
     xz = jnp.asarray(rng.normal(size=(16, schz.n_max, 1)).astype(dtype))
-    t_gz = scan_time_arg(lambda st, v: gmv(st, v), stz, xz)
+    t_gz = scan_time_arg(lambda st, v: gmv(st, v), stz, xz,
+                         lengths=(10, 110))
     print(f"gmv grid twin  : {t_gz*1e6:9.1f} us  "
           f"({nnzg/t_gz/1e9:.1f} GNnz/s, grid {ngrid}^2/16 "
           f"nnz={nnzg/1e6:.2f}M)", flush=True)
