@@ -50,6 +50,11 @@ def main(argv=None):
                              f_global=f_global,
                              rcm_local=jax.default_backend() != "cpu")
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d, options=opt)
+    if opt.val("schwarz_coarse_correction") is not None:
+        # fully-algebraic GenEO (round 5): SPSD splitting of the assembled
+        # matrix stands in for user auxiliary Neumann matrices (the
+        # PCHPDDM + aldaas2021robust front-end)
+        sch.solve_gevp(fromfile.spsd_neumann(gen))
     f = np.zeros((S, sch.n_max, 1), dtype=dtype)
     for s in range(S):
         f[s, : gen.n_loc[s]] = gen.f[s]

@@ -142,9 +142,11 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         .reshape(S, n_tiles, 128)
 
     def kernel(offs_ref, x_ref, v_ref, l_ref, o_ref):
+        s_id = pl.program_id(0)
+        b_id = pl.program_id(1)
         acc = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
         for j in range(w_pad):
-            off_j = offs_ref[0, 0, j]                   # SMEM scalar
+            off_j = offs_ref[s_id, b_id, j]             # SMEM scalar
             xw = x_ref[0, pl.ds(off_j, QT), :]          # (QT, 128)
             locj = l_ref[0, 0, j]                       # (BRT, 128)
             lane = jax.lax.rem(locj, jnp.int32(128))
@@ -162,8 +164,7 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         out_shape=jax.ShapeDtypeStruct((S, nb, BRT, 128), x.dtype),
         grid=(S, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, w_pad), lambda s, b: (s, b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # whole offs array
             pl.BlockSpec((1, n_tiles, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w_pad, BRT, 128),

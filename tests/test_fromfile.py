@@ -144,3 +144,48 @@ def test_partition_gg_beats_rcm_on_mini():
         out[meth] = (int((counts > 1).sum()), int(res.iterations))
     assert out["gg"][0] < out["rcm"][0], out     # fewer interface dofs
     assert out["gg"][1] <= out["rcm"][1], out    # no more iterations
+
+
+def test_spsd_neumann_geneo():
+    """Fully-algebraic GenEO (round 5): the SPSD edge splitting of the
+    assembled matrix yields SPSD local pencils whose prolongated sum
+    reproduces K (exact for weakly diagonally dominant K), and the
+    resulting coarse space cuts iterations — the PCHPDDM +
+    aldaas2021robust front-end with no user auxiliary matrices."""
+    import scipy.sparse as sp
+    from hpddm_tpu.models import diffusion2d
+
+    # heterogeneous 5-point matrix assembled globally (M-matrix: exact)
+    g1 = diffusion2d.generate(1, 60, 60, overlap=0)
+    K = g1.mats[0].scipy(expand=True)
+    S = 8
+    gen = fromfile.decompose(MatrixCSR(sp.csr_matrix(K)), S, overlap=2)
+    neu = fromfile.spsd_neumann(gen)
+    # exact prolongated sum + SPSD
+    acc = sp.csr_matrix(K.shape)
+    for s in range(S):
+        g = gen.gids[s]
+        R = sp.csr_matrix((np.ones(len(g)), (np.arange(len(g)), g)),
+                          shape=(len(g), K.shape[0]))
+        acc = acc + R.T @ neu[s].scipy(expand=True) @ R
+    Ksym = (K + K.T) * 0.5
+    assert abs(acc - Ksym).max() < 1e-10 * abs(Ksym).max()
+    w = np.linalg.eigvalsh(neu[0].dense(expand=True))
+    assert w.min() > -1e-10 * w.max()
+
+    its = {}
+    for cc in (None, "deflated"):
+        opt = Options(tol=1e-8, **({} if cc is None else dict(
+            schwarz_coarse_correction=cc, geneo_nu=8)))
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        if cc:
+            sch.solve_gevp(neu)
+        st = sch.build()
+        f = np.zeros((S, sch.n_max, 1))
+        for s in range(S):
+            f[s, : gen.n_loc[s]] = gen.f[s]
+        r = solve(st, jnp.asarray(f), opt=opt)
+        its[cc] = int(r.iterations)
+    assert its["deflated"] < its[None]
+    assert its["deflated"] <= 16
