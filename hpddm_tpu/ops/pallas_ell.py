@@ -57,6 +57,7 @@ class WindowedEll:
     vals: jax.Array      # (S, nb, w_pad, BRT, 128)
     loc: jax.Array       # (S, nb, w_pad, BRT, 128) int32, window-local col
     offs: jax.Array      # (S, nb, w_pad) int32 per-slot window start tile
+    spread: jax.Array    # (S, nb, w_pad) int32 live tiles per slot (<= QT)
     w_pad: int = dataclasses.field(metadata=dict(static=True))
     BR: int = dataclasses.field(metadata=dict(static=True))
     QT: int = dataclasses.field(metadata=dict(static=True))
@@ -109,6 +110,7 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
     QT = int((t_hi - t_lo).max()) + 1
     n_tiles = max(-(-n_max // 128), QT)
     offs = np.minimum(t_lo, n_tiles - QT)              # clamp window end
+    spread = t_hi - offs + 1                           # live tiles/slot
     loc_p = cb - (offs[:, :, None, :] * 128)
     if loc_p.min() < 0 or loc_p.max() >= QT * 128:
         raise AssertionError("windowed ELL: column outside its window "
@@ -125,13 +127,15 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
             to_slot_major(loc_p.reshape(S, n_pad, w_pad))
             .astype(np.int32)),
         offs=jnp.asarray(offs.astype(np.int32)),
+        spread=jnp.asarray(spread.astype(np.int32)),
         w_pad=w_pad, BR=BR, QT=QT, n_tiles=int(n_tiles), bandwidth=B)
     return dataclasses.replace(A, windowed=payload)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
-                   x: jax.Array, geom: Tuple[int, int, int, int],
+                   spread: jax.Array, x: jax.Array,
+                   geom: Tuple[int, int, int, int],
                    interpret: bool = False) -> jax.Array:
     """x: (S, n) -> y: (S, n).  geom = (w_pad, BR, QT, n_tiles)."""
     w_pad, BR, QT, n_tiles = geom
@@ -141,23 +145,29 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
     xp = jnp.pad(x, ((0, 0), (0, n_tiles * 128 - n))) \
         .reshape(S, n_tiles, 128)
 
-    def kernel(offs_ref, x_ref, v_ref, l_ref, o_ref):
+    def kernel(offs_ref, spr_ref, x_ref, v_ref, l_ref, o_ref, acc_ref,
+               g_ref):
         s_id = pl.program_id(0)
         b_id = pl.program_id(1)
-        acc = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
+        acc_ref[...] = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
         for j in range(w_pad):
             off_j = offs_ref[s_id, b_id, j]             # SMEM scalar
+            spr_j = spr_ref[s_id, b_id, j]
             xw = x_ref[0, pl.ds(off_j, QT), :]          # (QT, 128)
             locj = l_ref[0, 0, j]                       # (BRT, 128)
             lane = jax.lax.rem(locj, jnp.int32(128))
             tile = jax.lax.div(locj, jnp.int32(128))
-            g = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
+            g_ref[...] = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
             for t in range(QT):
-                src = jnp.broadcast_to(xw[t: t + 1, :], (BRT, 128))
-                gt = jnp.take_along_axis(src, lane, axis=1)
-                g = g + jnp.where(tile == t, gt, 0.0)
-            acc = acc + v_ref[0, 0, j] * g
-        o_ref[0, 0] = acc
+                # per-slot live-tile skip: QT is the worst block's window;
+                # the typical column-sorted spread is 2-3 tiles
+                @pl.when(t < spr_j)
+                def _():
+                    src = jnp.broadcast_to(xw[t: t + 1, :], (BRT, 128))
+                    gt = jnp.take_along_axis(src, lane, axis=1)
+                    g_ref[...] += jnp.where(tile == t, gt, 0.0)
+            acc_ref[...] += v_ref[0, 0, j] * g_ref[...]
+        o_ref[0, 0] = acc_ref[...]
 
     out = pl.pallas_call(
         kernel,
@@ -165,6 +175,7 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         grid=(S, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # whole offs array
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # whole spread array
             pl.BlockSpec((1, n_tiles, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w_pad, BRT, 128),
@@ -176,8 +187,10 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, 1, BRT, 128), lambda s, b: (s, b, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BRT, 128), x.dtype),
+                        pltpu.VMEM((BRT, 128), x.dtype)],
         interpret=interpret,
-    )(offs, xp, vals, loc)
+    )(offs, spread, xp, vals, loc)
     return out.reshape(S, nb * BR)[:, :n]
 
 
@@ -188,7 +201,7 @@ def spmm_windowed(A: BatchedELL, x: jax.Array,
     we: WindowedEll = A.windowed
     geom = (we.w_pad, we.BR, we.QT, we.n_tiles)
     mu = x.shape[-1]
-    outs = [_windowed_spmv(we.vals, we.loc, we.offs, x[:, :, m], geom,
-                           interpret=interpret)
+    outs = [_windowed_spmv(we.vals, we.loc, we.offs, we.spread,
+                           x[:, :, m], geom, interpret=interpret)
             for m in range(mu)]
     return jnp.stack(outs, axis=-1)
