@@ -192,7 +192,7 @@ def gmv(state: SchwarzState, x: jax.Array,
             from hpddm_tpu.parallel.grid import (grid_exchange_muT,
                                                  grid_exchange_muT_scan)
             xT = jnp.moveaxis(x, -1, 1)                  # (S, mu, n)
-            if mu >= 3:
+            if mu >= 3 and os.environ.get("HPDDM_TPU_MUT_SCAN") != "0":
                 # round 5 (VERDICT r4 #5): mu >= 3 spills the fused muT
                 # accumulator; lax.scan over RHS groups runs each group at
                 # the roofline mu<=2 pass and cannot be interleaved back
