@@ -198,3 +198,31 @@ def test_pexchange_bitwise(gen):
         assert np.array_equal(y_ref, y_ker)
     finally:
         os.environ.pop("HPDDM_TPU_FORCE_PEXCH", None)
+
+
+def test_unstructured_sharded_matches_batched(gen):
+    """Unstructured (ELL, general-exchange) pipeline under shard_map must
+    match the batched solve bitwise — the np>1 analogue for the
+    algebraic path (architecture invariant, CLAUDE.md)."""
+    import jax
+    from hpddm_tpu.parallel.mesh import (make_mesh, shard_state,
+                                         sharded_solve)
+
+    S = 8
+    opt = Options(tol=1e-8, schwarz_coarse_correction="deflated",
+                  geneo_nu=6)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.solve_gevp(gen.neumann)
+    state = sch.build()
+    f = _rhs(gen, sch, S)
+    res_ref = solve(state, f, opt=opt)
+
+    mesh = make_mesh(4)
+    state_sh = shard_state(state, mesh)
+    f_sh = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("sub", None, None)))
+    res_sh = sharded_solve(state_sh, f_sh, opt, mesh)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(np.asarray(res_sh.x),
+                               np.asarray(res_ref.x), atol=1e-10)
