@@ -40,6 +40,7 @@ def main():
     rng = np.random.default_rng(0)
     for method in ("bgmres", "bgcrodr"):
         opt = Options(tol=1e-6, max_it=200, krylov_method=method,
+                      local_solver="banded",
                       schwarz_coarse_correction="deflated", geneo_nu=8,
                       **({"recycle": 10} if method == "bgcrodr" else {}))
         sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,

@@ -76,7 +76,9 @@ def main():
         f[s, : gen.n_loc[s]] = f_list[s]
     f = jnp.asarray(f)
 
+    import gc
     for name, extra in configs.items():
+        st = sj = res = None
         try:
             opt = Options(**{**base, **extra})
             sch.opt = opt
@@ -92,6 +94,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:10s}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
+        finally:
+            # drop the previous config's factors/coarse before the next
+            # build — holding two states OOMs the 16 GB HBM at S=256
+            st = sj = res = None
+            sch._state = None
+            gc.collect()
 
 
 if __name__ == "__main__":
