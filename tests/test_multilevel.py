@@ -266,3 +266,34 @@ def test_four_level_chain():
     res5 = solve(state5, f, opt=sch.opt)
     nb, nr = compute_residual(state5, res5.x, f)
     assert float(nr[0] / nb[0]) < 1e-2
+
+
+def test_at_scale_winning_config_quality():
+    """Pin the round-5 crossover winner's quality (PERF.md, VERDICT r4
+    #4): the exact L4 option set that builds 7.5x faster than the flat
+    direct coarse at S=1024/nc=8192 on chip (level_2 cg + level_3 cg with
+    aggregate-4 spectral nu=2 + level_4 aggregate-4) must converge within
+    +4 outer iterations of L2-direct at a scaled-down S=64 twin — the
+    chip benchmark measures build time; this pins the iteration quality
+    that makes the build win a true win."""
+    base = dict(schwarz_coarse_correction="deflated",
+                coarse_assembly="bsr", geneo_nu=4, tol=1e-6)
+    gen, sch, f = _setup(64, 128, 128, **base)
+    sch.solve_gevp(gen.neumann)
+    its = {}
+    for name, extra in [
+            ("L2", {}),
+            ("L4", dict(level_2_krylov_method="cg", level_2_tol=1e-2,
+                        level_2_max_it=50, level_3_krylov_method="cg",
+                        level_3_aggregate_size=4, level_3_geneo_nu=2,
+                        level_3_tol=1e-2, level_3_max_it=20,
+                        level_4_aggregate_size=4))]:
+        for k, v in extra.items():
+            sch.opt[k] = v
+        st = sch.build()
+        res = solve(st, f, opt=sch.opt)
+        nb, nr = compute_residual(st, res.x, f)
+        assert float(nr[0] / nb[0]) < 1e-4, name
+        its[name] = int(res.iterations)
+        sch._state = None
+    assert its["L4"] <= its["L2"] + 4, its
