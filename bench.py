@@ -159,50 +159,6 @@ def main():
     gmv_arg_us = max((w2 - w1) / (L2 - L1), 1e-9) * 1e6
     _mark("spmv/gmv done")
 
-    # --- unstructured GMV (round 5, VERDICT r4 #6) -----------------------
-    # jittered-Delaunay P1 FEM at 65k vertices: windowed band-ELL
-    # lane-gather SpMV + Pallas static-gather exchange (vs 8.1 ms for the
-    # XLA ELL-gather path at this size; PERF.md round 5)
-    unstr = ""
-    try:
-        from hpddm_tpu.models import unstructured as _um
-
-        genu = _um.generate(16, 256, 256, overlap=2, with_neumann=False,
-                            partition="geometric", seed=0, dtype=dtype)
-        schu = Schwarz(genu.mats, genu.neighbors, genu.mappings, d=genu.d,
-                       options=Options())
-        stu = schu.operator_state()
-        nnzu = sum(m.nnz for m in genu.mats)
-        xu = jnp.asarray(np.random.default_rng(2).normal(
-            size=(16, schu.n_max, 1)).astype(dtype))
-
-        def gmv_chain_u(length):
-            @jax.jit
-            def chain(st, v):
-                out, _ = lax.scan(lambda c, _: (gmv(st, c), None), v,
-                                  None, length=length)
-                return out
-            return chain
-        u1, u2 = gmv_chain_u(L1), gmv_chain_u(L2)
-        y = u2(stu, u1(stu, xu))
-        fetch(y)
-        w1 = w2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            y = u1(stu, y)
-            fetch(y)
-            w1 = min(w1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            y = u2(stu, y)
-            fetch(y)
-            w2 = min(w2, time.perf_counter() - t0)
-        t_u = max((w2 - w1) / (L2 - L1), 1e-9)
-        unstr = ", unstr_gmv_us=%.1f(%.1fGNnz/s@65k)" % (
-            t_u * 1e6, nnzu / t_u / 1e9)
-    except Exception as e:                        # noqa: BLE001
-        unstr = ", unstr_gmv=failed(%s)" % type(e).__name__
-    _mark("unstructured done")
-
     # --- flagship twin: heterogeneous two-level solve (VERDICT r2 #9) ----
     # 512^2/16 contrast-1e4 channel, Jacobi-scaled, banded exact local
     # solves, Lanczos-GenEO — a deterministic scaled-down twin of the
@@ -322,6 +278,52 @@ def main():
         ladder = ", ladder256=failed(%s)" % type(e).__name__
 
     _mark("ladder done")
+    # --- unstructured GMV (round 5, VERDICT r4 #6) -----------------------
+    # jittered-Delaunay P1 FEM at 65k vertices: windowed band-ELL
+    # lane-gather SpMV + Pallas static-gather exchange (vs 8.1 ms for the
+    # XLA ELL-gather path at this size; PERF.md round 5)
+    unstr = ""
+    try:
+        if time.perf_counter() - _t_start > 500:
+            raise TimeoutError("budget")
+        from hpddm_tpu.models import unstructured as _um
+
+        genu = _um.generate(16, 256, 256, overlap=2, with_neumann=False,
+                            partition="geometric", seed=0, dtype=dtype)
+        schu = Schwarz(genu.mats, genu.neighbors, genu.mappings, d=genu.d,
+                       options=Options())
+        stu = schu.operator_state()
+        nnzu = sum(m.nnz for m in genu.mats)
+        xu = jnp.asarray(np.random.default_rng(2).normal(
+            size=(16, schu.n_max, 1)).astype(dtype))
+
+        def gmv_chain_u(length):
+            @jax.jit
+            def chain(st, v):
+                out, _ = lax.scan(lambda c, _: (gmv(st, c), None), v,
+                                  None, length=length)
+                return out
+            return chain
+        u1, u2 = gmv_chain_u(L1), gmv_chain_u(L2)
+        y = u2(stu, u1(stu, xu))
+        fetch(y)
+        w1 = w2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = u1(stu, y)
+            fetch(y)
+            w1 = min(w1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            y = u2(stu, y)
+            fetch(y)
+            w2 = min(w2, time.perf_counter() - t0)
+        t_u = max((w2 - w1) / (L2 - L1), 1e-9)
+        unstr = ", unstr_gmv_us=%.1f(%.1fGNnz/s@65k)" % (
+            t_u * 1e6, nnzu / t_u / 1e9)
+    except Exception as e:                        # noqa: BLE001
+        unstr = ", unstr_gmv=failed(%s)" % type(e).__name__
+    _mark("unstructured done")
+
     print(json.dumps({
         "metric": "flagship512_time_to_true_1e-8",
         "value": round(value, 6),

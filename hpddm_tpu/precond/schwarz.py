@@ -192,7 +192,13 @@ def gmv(state: SchwarzState, x: jax.Array,
             from hpddm_tpu.parallel.grid import (grid_exchange_muT,
                                                  grid_exchange_muT_scan)
             xT = jnp.moveaxis(x, -1, 1)                  # (S, mu, n)
-            if mu >= 3 and os.environ.get("HPDDM_TPU_MUT_SCAN") != "0":
+            # scan pays per-step overheads: it only wins once the fused
+            # form's (S, mu, n) accumulator actually spills (measured:
+            # BGMRES mu=4 at 512^2/16 [17 MB] is 7% FASTER fused, while
+            # 2048^2/16 [270 MB] is 1.4x faster scanned)
+            env = os.environ.get("HPDDM_TPU_MUT_SCAN")  # A/B override
+            big = x.size * x.dtype.itemsize > 64 * 1024 * 1024
+            if mu >= 3 and (env == "1" or (big and env != "0")):
                 # round 5 (VERDICT r4 #5): mu >= 3 spills the fused muT
                 # accumulator; lax.scan over RHS groups runs each group at
                 # the roofline mu<=2 pass and cannot be interleaved back

@@ -55,7 +55,12 @@ def main():
         f = sch.exchange_rhs(jnp.asarray(f))
         for scan in ("0", "1"):
             os.environ["HPDDM_TPU_MUT_SCAN"] = scan
-            sj = jax.jit(lambda st_, b: solve(st_, b, opt=opt))
+            if method == "bgmres":
+                sj = jax.jit(lambda st_, b: solve(st_, b, opt=opt))
+            else:
+                # gcrodr orchestrates recycling on host — not one jit
+                def sj(st_, b):
+                    return solve(st_, b, opt=opt)
             t, _, res = timed(sj, st, f, reps=3, warmup=1)
             print(f"{method} mu={mu} scan={scan}: {t:8.3f}s "
                   f"{int(res.iterations)} its", flush=True)
