@@ -49,18 +49,20 @@ from hpddm_tpu.core.formats import BatchedELL
 class WindowedEll:
     """Slot-major banded ELL payload (see module doc).
 
-    Round-5 v2: rows are column-sorted, so slot plane j of one row block
-    spans only a few consecutive x 128-tiles; each (block, slot) pair
-    carries its own window start ``offs`` (SMEM scalar) and ``loc`` is
-    local to that per-slot window of ``QT`` tiles — the select loop runs
-    QT ~ 3-6 iterations instead of BR/128 + 2*ceil(B/128) + 1."""
+    Negative results recorded here so they stay dead: (a) per-slot SMEM
+    window starts (column-sorted rows have ~3-tile slot spreads vs the
+    QT ~ 10-17 block window) measured NO faster at 262k (135.9 vs 125.5
+    us — the per-slot dynamic window slices and SMEM scalar reads eat
+    the saved selects) and overflow the 1 MB SMEM at 1M dofs; (b)
+    @pl.when live-tile skipping with a VMEM scratch accumulator is 20x
+    SLOWER (scalar branches + read-modify-write break Mosaic's
+    pipelining).  The dense static-window loop below wins."""
     vals: jax.Array      # (S, nb, w_pad, BRT, 128)
     loc: jax.Array       # (S, nb, w_pad, BRT, 128) int32, window-local col
-    offs: jax.Array      # (S, nb, w_pad) int32 per-slot window start tile
-    spread: jax.Array    # (S, nb, w_pad) int32 live tiles per slot (<= QT)
     w_pad: int = dataclasses.field(metadata=dict(static=True))
     BR: int = dataclasses.field(metadata=dict(static=True))
     QT: int = dataclasses.field(metadata=dict(static=True))
+    QH: int = dataclasses.field(metadata=dict(static=True))
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
     bandwidth: int = dataclasses.field(metadata=dict(static=True))
 
@@ -103,15 +105,13 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
                              (S, n_pad, w_pad)).copy()
     cols_p[:, :n_max] = cols_eff
 
-    # per (s, block, slot) window: [min tile, max tile] of that slot
-    cb = cols_p.reshape(S, nb, BR, w_pad)
-    t_lo = (cb // 128).min(axis=2)                     # (S, nb, w_pad)
-    t_hi = (cb // 128).max(axis=2)
-    QT = int((t_hi - t_lo).max()) + 1
+    # static per-block window: tiles [q0(b), q0(b) + QT) with q0 computed
+    # identically here and in the kernel (a pure function of b)
+    QT = BRT + 2 * QH + 1
     n_tiles = max(-(-n_max // 128), QT)
-    offs = np.minimum(t_lo, n_tiles - QT)              # clamp window end
-    spread = t_hi - offs + 1                           # live tiles/slot
-    loc_p = cb - (offs[:, :, None, :] * 128)
+    b_of = np.arange(n_pad, dtype=np.int64) // BR
+    q0 = np.clip(b_of * BRT - QH, 0, n_tiles - QT)     # (n_pad,)
+    loc_p = cols_p - (q0 * 128)[None, :, None]
     if loc_p.min() < 0 or loc_p.max() >= QT * 128:
         raise AssertionError("windowed ELL: column outside its window "
                              f"(B={B}, QT={QT})")
@@ -123,40 +123,30 @@ def annotate_windowed(A: BatchedELL, block_rows: int = 1024,
 
     payload = WindowedEll(
         vals=jnp.asarray(to_slot_major(vals_p)),
-        loc=jnp.asarray(
-            to_slot_major(loc_p.reshape(S, n_pad, w_pad))
-            .astype(np.int32)),
-        offs=jnp.asarray(offs.astype(np.int32)),
-        spread=jnp.asarray(spread.astype(np.int32)),
-        w_pad=w_pad, BR=BR, QT=QT, n_tiles=int(n_tiles), bandwidth=B)
+        loc=jnp.asarray(to_slot_major(loc_p).astype(np.int32)),
+        w_pad=w_pad, BR=BR, QT=QT, QH=QH, n_tiles=int(n_tiles),
+        bandwidth=B)
     return dataclasses.replace(A, windowed=payload)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
-                   spread: jax.Array, x: jax.Array,
-                   geom: Tuple[int, int, int, int],
+def _windowed_spmv(vals: jax.Array, loc: jax.Array, x: jax.Array,
+                   geom: Tuple[int, int, int, int, int],
                    interpret: bool = False) -> jax.Array:
-    """x: (S, n) -> y: (S, n).  geom = (w_pad, BR, QT, n_tiles)."""
-    w_pad, BR, QT, n_tiles = geom
+    """x: (S, n) -> y: (S, n).  geom = (w_pad, BR, QT, QH, n_tiles)."""
+    w_pad, BR, QT, QH, n_tiles = geom
     S, nb = vals.shape[:2]
     BRT = BR // 128
     n = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (0, n_tiles * 128 - n))) \
         .reshape(S, n_tiles, 128)
 
-    def kernel(offs_ref, spr_ref, x_ref, v_ref, l_ref, o_ref):
-        # NOTE (measured): guarding each tile with @pl.when(t < spread_j)
-        # and accumulating via a VMEM scratch ref is 20x SLOWER (2 807 vs
-        # 136 us at 262k dofs) — the scalar branch + read-modify-write
-        # breaks Mosaic's pipelining; the dense value-carried loop wins
-        # despite QT/spread ~ 3x wasted selects.
-        s_id = pl.program_id(0)
-        b_id = pl.program_id(1)
+    def kernel(x_ref, v_ref, l_ref, o_ref):
+        b = pl.program_id(1)
+        q0 = jnp.clip(b * BRT - QH, 0, n_tiles - QT)
+        xw = x_ref[0, pl.ds(q0, QT), :]                 # (QT, 128)
         acc = jnp.zeros((BRT, 128), dtype=o_ref.dtype)
         for j in range(w_pad):
-            off_j = offs_ref[s_id, b_id, j]             # SMEM scalar
-            xw = x_ref[0, pl.ds(off_j, QT), :]          # (QT, 128)
             locj = l_ref[0, 0, j]                       # (BRT, 128)
             lane = jax.lax.rem(locj, jnp.int32(128))
             tile = jax.lax.div(locj, jnp.int32(128))
@@ -173,8 +163,6 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         out_shape=jax.ShapeDtypeStruct((S, nb, BRT, 128), x.dtype),
         grid=(S, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # whole offs array
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # whole spread array
             pl.BlockSpec((1, n_tiles, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w_pad, BRT, 128),
@@ -187,7 +175,7 @@ def _windowed_spmv(vals: jax.Array, loc: jax.Array, offs: jax.Array,
         out_specs=pl.BlockSpec((1, 1, BRT, 128), lambda s, b: (s, b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(offs, spread, xp, vals, loc)
+    )(xp, vals, loc)
     return out.reshape(S, nb * BR)[:, :n]
 
 
@@ -196,9 +184,9 @@ def spmm_windowed(A: BatchedELL, x: jax.Array,
     """Dispatch entry: x (S, n, mu) -> (S, n, mu); one kernel pass per RHS
     (the values stream stays in VMEM across slots either way)."""
     we: WindowedEll = A.windowed
-    geom = (we.w_pad, we.BR, we.QT, we.n_tiles)
+    geom = (we.w_pad, we.BR, we.QT, we.QH, we.n_tiles)
     mu = x.shape[-1]
-    outs = [_windowed_spmv(we.vals, we.loc, we.offs, we.spread,
-                           x[:, :, m], geom, interpret=interpret)
+    outs = [_windowed_spmv(we.vals, we.loc, x[:, :, m], geom,
+                           interpret=interpret)
             for m in range(mu)]
     return jnp.stack(outs, axis=-1)
