@@ -247,9 +247,14 @@ def main():
                                             kappa=kap2, with_neumann=True,
                                             dtype=dtype)
         mats4, f4_list, neu4, _ = _js(gen4.mats, gen4.f, gen4.neumann)
+        # level-2 cg + direct level-3 deflation: the measured coarse-chain
+        # winner at nc=2048 (build 57 s vs 103 s flat direct, 22 vs 19
+        # its — PERF.md round-5 multilevel crossover table)
         opt4 = Options(tol=2e-3, local_solver="banded",
                        coarse_assembly="bsr", gmres_restart=40,
-                       schwarz_coarse_correction="deflated", geneo_nu=8)
+                       schwarz_coarse_correction="deflated", geneo_nu=8,
+                       level_2_krylov_method="cg", level_2_tol=1e-2,
+                       level_2_max_it=50)
         sch4 = Schwarz(mats4, gen4.neighbors, gen4.mappings, d=gen4.d,
                        options=opt4)
         sch4.set_grid_geometry(gen4.boxes, N4, N4)
