@@ -185,7 +185,9 @@ def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xpc, ifloc)
-    vals = vals_raw * ifmask
+    # where (not multiply): 0.0 * negative = -0.0 would break the bitwise
+    # match with the XLA path's where(if_mask, gathered, 0)
+    vals = jnp.where(ifmask != 0.0, vals_raw, 0.0)
 
     # reduce: per-k partner gathers accumulated over chunks of the
     # *neighbor-compacted* (deg_max*m_tiles) window — one XLA row-slice
@@ -231,7 +233,7 @@ def _pexchange(x: jax.Array, ifloc, ifmask, ploc, pmask, invloc, invmask,
         interpret=interpret,
     )(vflat, ploc)
     summed = vals + jnp.sum(
-        jnp.moveaxis(pk * pmask, 1, 3), axis=3)
+        jnp.moveaxis(jnp.where(pmask != 0.0, pk, 0.0), 1, 3), axis=3)
 
     def k_merge(x_ref, sm_ref, il_ref, im_ref, o_ref):
         merged = _chunk_gather_acc(
