@@ -226,3 +226,28 @@ def test_unstructured_sharded_matches_batched(gen):
     assert int(res_sh.iterations) == int(res_ref.iterations)
     np.testing.assert_allclose(np.asarray(res_sh.x),
                                np.asarray(res_ref.x), atol=1e-10)
+
+
+def test_unstructured_block_methods(gen):
+    """True-block BGMRES mu=3 on the unstructured pipeline (per-RHS
+    windowed/exchange loops on TPU; ELL path on CPU) — per-RHS residual
+    gates like the reference's block drivers."""
+    from hpddm_tpu.precond.schwarz import compute_residual
+
+    S = 8
+    opt = Options(tol=1e-8, max_it=200, krylov_method="bgmres",
+                  schwarz_coarse_correction="deflated", geneo_nu=6)
+    sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                  options=opt)
+    sch.solve_gevp(gen.neumann)
+    st = sch.build()
+    rng = np.random.default_rng(7)
+    f = np.zeros((S, sch.n_max, 3))
+    for s in range(S):
+        f[s, : gen.n_loc[s]] = rng.normal(size=(gen.n_loc[s], 3))
+    f = sch.exchange_rhs(jnp.asarray(f))
+    res = solve(st, f, opt=opt)
+    nb, nr = compute_residual(st, res.x, f)
+    rel = np.asarray(nr) / np.asarray(nb)
+    assert np.all(rel < 1e-6), rel
+    assert int(res.iterations) <= 60
