@@ -43,74 +43,78 @@ class UnstructuredGenerated(FromFileGenerated):
 
 
 def delaunay_mesh(nx: int, ny: int, jitter: float = 0.42,
-                  grading: float = 0.0, seed: int = 0):
+                  grading: float = 0.0, seed: int = 0, nz: int = 0):
     """Jittered, optionally graded lattice + Delaunay triangulation.
 
-    Returns (points (N,2), triangles (M,3), boundary (N,) bool).  Border
-    points stay on the unit-square boundary (jittered tangentially) so the
-    Dirichlet boundary is well defined.  ``grading`` > 0 compresses the
-    mesh toward the origin corner (x -> x**(1+grading)), producing the
-    graded-mesh row-length variety of real FEM workloads."""
+    Returns (points (N, dim), simplices (M, dim+1), boundary (N,) bool);
+    dim = 3 when ``nz`` > 0 (tetrahedra).  Border points stay on the
+    unit-cube boundary (jittered tangentially) so the Dirichlet boundary
+    is well defined.  ``grading`` > 0 compresses the mesh toward the
+    origin corner (x -> x**(1+grading)), producing the graded-mesh
+    row-length variety of real FEM workloads."""
     from scipy.spatial import Delaunay
 
     rng = np.random.default_rng(seed)
-    xs = np.linspace(0.0, 1.0, nx)
-    ys = np.linspace(0.0, 1.0, ny)
-    X, Y = np.meshgrid(xs, ys, indexing="ij")
-    hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
-    jx = rng.uniform(-jitter, jitter, size=X.shape) * hx
-    jy = rng.uniform(-jitter, jitter, size=Y.shape) * hy
-    on_vx = (X == 0.0) | (X == 1.0)
-    on_vy = (Y == 0.0) | (Y == 1.0)
-    X = np.clip(X + np.where(on_vx, 0.0, jx), 0.0, 1.0)
-    Y = np.clip(Y + np.where(on_vy, 0.0, jy), 0.0, 1.0)
-    if grading > 0.0:
-        X = X ** (1.0 + grading)
-        Y = Y ** (1.0 + grading)
-    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    ns = [nx, ny] + ([nz] if nz else [])
+    axes = [np.linspace(0.0, 1.0, n) for n in ns]
+    grids = list(np.meshgrid(*axes, indexing="ij"))
+    for d, n in enumerate(ns):
+        h = 1.0 / (n - 1)
+        jd = rng.uniform(-jitter, jitter, size=grids[d].shape) * h
+        on_edge = (grids[d] == 0.0) | (grids[d] == 1.0)
+        grids[d] = np.clip(grids[d] + np.where(on_edge, 0.0, jd), 0.0, 1.0)
+        if grading > 0.0:
+            grids[d] = grids[d] ** (1.0 + grading)
+    pts = np.stack([g.ravel() for g in grids], axis=1)
     # destroy the lattice numbering entirely
     perm = rng.permutation(len(pts))
     pts = pts[perm]
     tri = Delaunay(pts)
     simplices = np.asarray(tri.simplices, dtype=np.int64)
-    # drop degenerate slivers on the boundary (collinear jittered points)
+    # drop degenerate slivers (collinear/coplanar jittered points)
     p = pts[simplices]
-    area2 = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
-             - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
-    simplices = simplices[np.abs(area2) > 1e-12]
-    boundary = (pts[:, 0] == 0.0) | (pts[:, 0] == 1.0) \
-        | (pts[:, 1] == 0.0) | (pts[:, 1] == 1.0)
+    J = np.stack([p[:, e + 1] - p[:, 0] for e in range(pts.shape[1])],
+                 axis=2)
+    simplices = simplices[np.abs(np.linalg.det(J)) > 1e-12]
+    boundary = np.zeros(len(pts), dtype=bool)
+    for d in range(pts.shape[1]):
+        boundary |= (pts[:, d] == 0.0) | (pts[:, d] == 1.0)
     return pts, simplices, boundary
 
 
 def assemble_p1(pts: np.ndarray, tris: np.ndarray,
                 kappa: Optional[Callable] = None,
                 rows_mask: Optional[np.ndarray] = None):
-    """Vectorized P1 stiffness assembly: K = sum_T area_T kappa_T g g^T.
+    """Vectorized P1 stiffness assembly: K = sum_T |T| kappa_T g g^T.
 
-    rows_mask: optional (M,) bool selecting which triangles to assemble
-    (used for the per-subdomain Neumann matrices).  Returns COO triplets
-    (rows, cols, vals)."""
+    Works for triangles (pts (N, 2), tris (M, 3)) and tetrahedra
+    (pts (N, 3), tris (M, 4)) — the barycentric gradients come from the
+    element Jacobian in either dimension.  rows_mask: optional (M,) bool
+    selecting which elements to assemble (used for the per-subdomain
+    Neumann matrices).  Returns COO triplets (rows, cols, vals)."""
     if rows_mask is not None:
         tris = tris[rows_mask]
-    p = pts[tris]                                   # (M, 3, 2)
-    e1 = p[:, 1] - p[:, 0]
-    e2 = p[:, 2] - p[:, 0]
-    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    area = 0.5 * np.abs(det)
-    # gradients of the three barycentric basis functions
-    g1 = np.stack([p[:, 1, 1] - p[:, 2, 1], p[:, 2, 0] - p[:, 1, 0]], 1)
-    g2 = np.stack([p[:, 2, 1] - p[:, 0, 1], p[:, 0, 0] - p[:, 2, 0]], 1)
-    g3 = np.stack([p[:, 0, 1] - p[:, 1, 1], p[:, 1, 0] - p[:, 0, 0]], 1)
-    g = np.stack([g1, g2, g3], axis=1) / det[:, None, None]   # (M, 3, 2)
+    dim = pts.shape[1]
+    nv = tris.shape[1]
+    p = pts[tris]                                   # (M, nv, dim)
+    # Jacobian J[:, d, e] = p[e+1, d] - p[0, d]; grads of barycentric
+    # basis 1..nv-1 are rows of J^-T, basis 0 is minus their sum
+    J = np.stack([p[:, e + 1] - p[:, 0] for e in range(dim)], axis=2)
+    det = np.linalg.det(J)
+    vol = np.abs(det) / (2.0 if dim == 2 else 6.0)
+    Jinv = np.linalg.inv(J)
+    g_rest = Jinv                 # (M, e, d): grad of basis e+1 = row e
+    g0 = -g_rest.sum(axis=1, keepdims=True)
+    g = np.concatenate([g0, g_rest], axis=1)        # (M, nv, dim)
     if kappa is not None:
         c = p.mean(axis=1)
-        k = np.asarray(kappa(c[:, 0], c[:, 1]), dtype=np.float64)
+        k = np.asarray(kappa(*(c[:, d] for d in range(dim))),
+                       dtype=np.float64)
     else:
         k = 1.0
-    Kloc = (area * k)[:, None, None] * np.einsum("mid,mjd->mij", g, g)
-    rows = np.repeat(tris, 3, axis=1).ravel()       # i index, (M*9,)
-    cols = np.tile(tris, (1, 3)).ravel()            # j index
+    Kloc = (vol * k)[:, None, None] * np.einsum("mid,mjd->mij", g, g)
+    rows = np.repeat(tris, nv, axis=1).ravel()
+    cols = np.tile(tris, (1, nv)).ravel()
     return rows, cols, Kloc.ravel()
 
 
@@ -151,7 +155,7 @@ def partition_geometric(pts: np.ndarray, S: int) -> np.ndarray:
 def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
              kappa: Optional[Callable] = None, with_neumann: bool = True,
              jitter: float = 0.42, grading: float = 0.0, seed: int = 0,
-             partition: str = "kway", rcm_local: bool = True,
+             partition: str = "kway", rcm_local: bool = True, nz: int = 0,
              dtype=np.float64) -> UnstructuredGenerated:
     """Unstructured P1 FEM diffusion decomposed into S subdomains.
 
@@ -168,18 +172,24 @@ def generate(S: int, nx: int, ny: Optional[int] = None, overlap: int = 1,
     slot maps in the RCM banded factorization."""
     ny = ny or nx
     pts, tris, boundary = delaunay_mesh(nx, ny, jitter=jitter,
-                                        grading=grading, seed=seed)
+                                        grading=grading, seed=seed, nz=nz)
     N = len(pts)
     rows, cols, vals = assemble_p1(pts, tris, kappa=kappa)
-    K = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
-    K.sum_duplicates()
+    K_raw = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    K_raw.sum_duplicates()
     f_glob = np.full(N, 1.0)
-    K, f_glob = _apply_dirichlet(K, boundary, f_glob)
+    K, f_glob = _apply_dirichlet(K_raw, boundary, f_glob)
     K.eliminate_zeros()
     K_m = MatrixCSR(sp.csr_matrix(K.astype(dtype)))
 
-    owner = partition_geometric(pts, S) if partition == "geometric" \
-        else None
+    if partition == "geometric":
+        owner = partition_geometric(pts, S)
+    else:
+        # partition the *pre-elimination* mesh graph: the eliminated
+        # matrix has edgeless boundary rows (49% of a 14^3 lattice!) and
+        # graph growing then starves every part but one
+        from hpddm_tpu.models.fromfile import partition_kway
+        owner = partition_kway(K_raw, S)
     base = decompose(K_m, S, overlap=overlap, f_global=f_glob,
                      owner=owner)
     out = UnstructuredGenerated(

@@ -251,3 +251,36 @@ def test_unstructured_block_methods(gen):
     rel = np.asarray(nr) / np.asarray(nb)
     assert np.all(rel < 1e-6), rel
     assert int(res.iterations) <= 60
+
+
+def test_unstructured_3d_tets():
+    """3-D tetrahedral P1 FEM (round 5): jittered 3-D Delaunay lattice,
+    generalized simplex assembly (row sums zero pre-BC, SPD), balanced
+    mesh-graph partition (the eliminated graph's edgeless boundary rows
+    must not starve the partitioner), GenEO on tet Neumann matrices, true
+    residuals on the assembled system."""
+    S = 8
+    gen = unstructured.generate(S, 14, 14, nz=14, overlap=2,
+                                with_neumann=True, seed=0)
+    sizes = np.array(gen.n_loc)
+    assert sizes.max() < 2.0 * sizes.min()        # balanced parts
+    N = gen.A_global.shape[0]
+    its = {}
+    for cc in (None, "deflated"):
+        opt = Options(tol=1e-8, **({} if cc is None else dict(
+            schwarz_coarse_correction=cc, geneo_nu=8)))
+        sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
+                      options=opt)
+        if cc:
+            sch.solve_gevp(gen.neumann)
+        st = sch.build()
+        res = solve(st, _rhs(gen, sch, S), opt=opt)
+        xs = np.asarray(res.x)
+        xg = np.zeros(N)
+        for s in range(S):
+            xg[gen.gids[s]] = xs[s, : gen.n_loc[s], 0]
+        fg = np.where(gen.boundary, 0.0, 1.0)
+        rel = np.linalg.norm(gen.A_global @ xg - fg) / np.linalg.norm(fg)
+        assert rel < 5e-8, (cc, rel)
+        its[cc] = int(res.iterations)
+    assert its["deflated"] <= its[None] <= 25
