@@ -33,6 +33,7 @@ def main(argv=None):
     app = [("N=<8>", "Number of subdomains."),
            ("Nx=<60>", "Mesh points per side."),
            ("overlap=<2>", "Overlap growth rounds."),
+           ("Nz=<0>", "3-D: mesh points along z (0 = 2-D triangles)."),
            ("grading=<0.0>", "Mesh grading toward the origin."),
            ("contrast=<1.0>", "Coefficient contrast of the channel.")]
     opt = Options.parse(argv, display=True, app_options=app)
@@ -44,10 +45,15 @@ def main(argv=None):
         kap = (lambda x, y: np.where((y > 0.33) & (y < 0.66),
                                      contrast, 1.0))
     two_level = opt.val("schwarz_coarse_correction") is not None
+    nz = int(opt.app()["Nz"])
+    if kap is not None and nz:
+        kap2d = kap
+        kap = (lambda x, y, z: kap2d(x, y))
     gen = unstructured.generate(
-        S, nx, nx, overlap=int(opt.app()["overlap"]), kappa=kap,
+        S, nx, nx, nz=nz, overlap=int(opt.app()["overlap"]), kappa=kap,
         grading=float(opt.app()["grading"]), with_neumann=two_level,
-        partition="geometric" if nx * nx > 200000 else "kway")
+        partition="geometric" if nx * nx * max(nz, 1) > 200000
+        else "kway")
 
     sch = Schwarz(gen.mats, gen.neighbors, gen.mappings, d=gen.d,
                   options=opt)
