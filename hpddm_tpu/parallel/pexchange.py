@@ -1,6 +1,9 @@
 """Pallas static-gather exchange for the general (unstructured) path.
 
-The general exchange is three element-granular index ops (interface
+The role of the reference's point-to-point halo reduction
+(Subdomain::exchange, include/HPDDM_subdomain.hpp:115-130) on a single
+chip's batched layout.  The general exchange is three element-granular
+index ops (interface
 gather, partner gather, write-back scatter) that XLA lowers element-serial
 on TPU (~10 ns/element): 591 us at 65k dofs/16 subdomains against a ~30 us
 grid-path exchange (tools/bench_unstructured.py, round 5).
